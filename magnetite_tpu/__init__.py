@@ -1,0 +1,59 @@
+"""magnetite_tpu — a TPU-native 2D plane-stress FEA framework.
+
+A from-scratch rebuild of the capabilities of kyle-tennison/Magnetite
+(a Rust CLI: SVG/CSV geometry -> Gmsh triangle mesh -> CST stiffness ->
+CG solve -> stress recovery -> matplotlib plot), redesigned for TPU:
+
+  * host front-end: SVG/CSV parsing, meshing (built-in Delaunay backend or
+    Gmsh subprocess), boundary-condition rules -> flat device arrays
+  * device core (JAX/XLA/Pallas): batched einsum element stiffness,
+    segment_sum assembly into block-ELL sparsity, matrix-free block-Jacobi
+    PCG, vmapped stress recovery and design sweeps, shard_map multi-chip
+    solves over a jax.sharding.Mesh
+"""
+
+from .config import (
+    BoundaryRegion,
+    BoundaryRule,
+    BoundaryTarget,
+    ModelMetadata,
+    SimulationInput,
+    SolverOptions,
+    load_simulation_input,
+    parse_simulation_input,
+)
+from .errors import (
+    InputError,
+    MagnetiteError,
+    MesherError,
+    PostProcessorError,
+    SolverError,
+)
+from .bc import BCArrays, apply_boundary_conditions
+from .meshing.core import Mesh, normalize_orientation, signed_areas
+from .fem.solve import SolveResult, solve_system
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "BCArrays",
+    "BoundaryRegion",
+    "BoundaryRule",
+    "BoundaryTarget",
+    "InputError",
+    "MagnetiteError",
+    "Mesh",
+    "MesherError",
+    "ModelMetadata",
+    "PostProcessorError",
+    "SimulationInput",
+    "SolveResult",
+    "SolverError",
+    "SolverOptions",
+    "apply_boundary_conditions",
+    "load_simulation_input",
+    "normalize_orientation",
+    "parse_simulation_input",
+    "signed_areas",
+    "solve_system",
+]

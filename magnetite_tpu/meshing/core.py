@@ -1,0 +1,72 @@
+"""Mesh container + orientation normalization.
+
+The device boundary of the framework: a `Mesh` is plain flat numpy arrays
+(coords [N,2] f64, tris [E,3] i32) that land directly in JAX device arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..errors import MesherError
+
+
+@dataclass
+class Mesh:
+    """A 2D triangle mesh.
+
+    coords: [N, 2] float64 node coordinates.
+    tris:   [E, 3] int32 node indices per triangle (CCW after normalization).
+    """
+
+    coords: np.ndarray
+    tris: np.ndarray
+
+    @property
+    def num_nodes(self) -> int:
+        return int(self.coords.shape[0])
+
+    @property
+    def num_elements(self) -> int:
+        return int(self.tris.shape[0])
+
+    def validate(self) -> None:
+        if self.coords.ndim != 2 or self.coords.shape[1] != 2:
+            raise MesherError(f"coords must be [N,2], got {self.coords.shape}")
+        if self.tris.ndim != 2 or self.tris.shape[1] != 3:
+            raise MesherError(f"tris must be [E,3], got {self.tris.shape}")
+        if self.num_elements and (
+            self.tris.min() < 0 or self.tris.max() >= self.num_nodes
+        ):
+            raise MesherError("element node index out of range")
+
+
+def signed_areas(coords: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Signed triangle areas, vectorized.
+
+    0.5*(x0*(y1-y2) + x1*(y2-y0) + x2*(y0-y1))  (reference: src/solver.rs:187-193)
+    """
+    p = coords[tris]  # [E, 3, 2]
+    x, y = p[..., 0], p[..., 1]
+    return 0.5 * (
+        x[:, 0] * (y[:, 1] - y[:, 2])
+        + x[:, 1] * (y[:, 2] - y[:, 0])
+        + x[:, 2] * (y[:, 0] - y[:, 1])
+    )
+
+
+def normalize_orientation(mesh: Mesh, threshold: float = 0.0) -> Mesh:
+    """Reverse node order of triangles whose signed area is below `threshold`.
+
+    The correct rule is threshold=0.0 (flip clockwise triangles to CCW).
+    The reference uses threshold=1.0 (src/mesher.rs:522-526), which also flips
+    already-CCW triangles smaller than unit area -- pass 1.0 to replicate that
+    behavior for parity experiments. The flip is applied exactly once.
+    """
+    areas = signed_areas(mesh.coords, mesh.tris)
+    flip = areas < threshold
+    tris = mesh.tris.copy()
+    tris[flip] = tris[flip][:, ::-1]
+    return Mesh(coords=mesh.coords, tris=tris)
