@@ -1,0 +1,169 @@
+"""Command-line interface.
+
+Usage parity with the reference binary (src/main.rs:21-76):
+
+    python -m magnetite_tpu.cli <input.json> <geometry files...>
+        [--cmap CMAP] [--skip]
+
+plus new flags for the TPU rebuild: --backend {auto,gmsh,delaunay},
+--precision {f32,f64}, --save-plot PATH, --out-dir DIR, --profile DIR,
+--von-mises. Errors print ``Received error: <stage> error: <msg>`` and
+exit 1 (reference: src/main.rs:43-51).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="magnetite-tpu",
+        description="TPU-native 2D linear-elastic FEA solver",
+    )
+    parser.add_argument(
+        "input_file", metavar="FILE", help="Input Json with boundary conditions"
+    )
+    parser.add_argument(
+        "geometry_files",
+        metavar="FILE",
+        nargs="+",
+        help="Geometry SVG or CSVs",
+    )
+    parser.add_argument(
+        "-c",
+        "--cmap",
+        default="coolwarm",
+        help="cmap for plot (default: coolwarm)",
+    )
+    parser.add_argument(
+        "-s", "--skip", action="store_true", help="skip plot"
+    )
+    parser.add_argument(
+        "--backend",
+        choices=["auto", "gmsh", "delaunay"],
+        default="auto",
+        help="meshing backend (auto: gmsh if installed, else built-in)",
+    )
+    parser.add_argument(
+        "--precision",
+        choices=["f32", "f64"],
+        default=None,
+        help="solve precision (default: f64 on CPU, f32 on TPU)",
+    )
+    parser.add_argument(
+        "--save-plot", default=None, help="save the figure to this path"
+    )
+    parser.add_argument(
+        "--out-dir", default=".", help="directory for nodes.csv/elements.csv"
+    )
+    parser.add_argument(
+        "--von-mises",
+        action="store_true",
+        help="write true von Mises stress instead of the legacy scalar",
+    )
+    parser.add_argument(
+        "--rtol", type=float, default=None, help="CG relative tolerance"
+    )
+    parser.add_argument(
+        "--profile",
+        default=None,
+        help="write a jax.profiler trace to this directory",
+    )
+    return parser
+
+
+def entry(argv=None) -> None:
+    import os
+
+    args = build_parser().parse_args(argv)
+
+    # Heavy imports deferred so --help stays fast.
+    import jax
+
+    # The axon sitecustomize force-registers the TPU platform at interpreter
+    # startup and overwrites jax_platforms, so honor the user's env var here.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+
+    from .config import SolverOptions, load_simulation_input
+    from .fem.solve import solve_system
+    from .meshing import runner
+    from .post.csv_out import write_results
+    from .utils.logging import stage, log
+
+    sim = load_simulation_input(args.input_file)
+
+    opt_kwargs = {}
+    if args.precision == "f32":
+        opt_kwargs["dtype"] = "float32"
+    elif args.precision == "f64":
+        jax.config.update("jax_enable_x64", True)
+        opt_kwargs["dtype"] = "float64"
+    elif jax.default_backend() == "cpu":
+        # CPU default: full f64 accuracy (TPU default stays f32).
+        jax.config.update("jax_enable_x64", True)
+        opt_kwargs["dtype"] = "float64"
+    if args.rtol is not None:
+        opt_kwargs["cg_rtol"] = args.rtol
+    options = SolverOptions(**opt_kwargs)
+
+    profile_ctx = None
+    if args.profile:
+        profile_ctx = jax.profiler.trace(args.profile)
+        profile_ctx.__enter__()
+
+    try:
+        with stage("mesh"):
+            mesh, bca = runner.run(
+                args.geometry_files,
+                sim,
+                backend=args.backend,
+                options=options,
+                log=log,
+            )
+        with stage("solve"):
+            result = solve_system(mesh, bca, sim.metadata, options)
+        log(
+            f"info: finished conjugate gradient in {result.iterations} "
+            f"iterations (residual {result.residual_norm:.3e})"
+        )
+        log(f"info: solved system in {result.timings['solve_s']:.3f} seconds")
+        if args.von_mises:
+            result.stress = result.von_mises
+        nodes_path = os.path.join(args.out_dir, "nodes.csv")
+        elements_path = os.path.join(args.out_dir, "elements.csv")
+        with stage("output"):
+            write_results(mesh, result, nodes_path, elements_path, log=log)
+        if not args.skip or args.save_plot:
+            from .post.plot import plot_results
+
+            with stage("plot"):
+                plot_results(
+                    mesh,
+                    result,
+                    cmap=args.cmap,
+                    show=not args.skip,
+                    save_path=args.save_plot,
+                )
+    finally:
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+
+
+def main(argv=None) -> int:
+    from .errors import MagnetiteError
+
+    try:
+        entry(argv)
+    except MagnetiteError as err:
+        print(f"Received error: {err}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

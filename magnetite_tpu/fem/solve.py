@@ -179,9 +179,15 @@ def solve_system(
         slot_ids = structure.slot_ids
     timings["structure_s"] = time.perf_counter() - t0
 
+    # f32 cannot reach f64-grade residuals; clamp the tolerance to what the
+    # working precision supports (~50x machine epsilon).
+    rtol = float(options.cg_rtol)
+    if dtype == np.float32:
+        rtol = max(rtol, 50 * float(np.finfo(np.float32).eps))
+
     core = _jitted_core(
         options.preconditioner,
-        float(options.cg_rtol),
+        rtol,
         float(options.cg_atol),
         int(options.max_cg_iters),
         float(options.stress_sign_threshold),
