@@ -87,7 +87,9 @@ class SolverOptions:
     # we default to a relative tolerance far tighter for accuracy.
     cg_rtol: float = 1e-10
     cg_atol: float = 0.0
-    preconditioner: str = "block_jacobi"  # "none" | "jacobi" | "block_jacobi"
+    # "auto" = geometric multigrid on large structured grids, block-Jacobi
+    # otherwise. Explicit: "none" | "jacobi" | "block_jacobi" | "multigrid".
+    preconditioner: str = "auto"
     # Scalar-stress sign threshold. The reference flips the sign when
     # sigma_x + sigma_y < 1.0 (src/solver.rs:524-530) -- a quirk we keep as
     # the default for output parity; set to 0.0 for the physical rule.
@@ -96,6 +98,11 @@ class SolverOptions:
     # signed area is < 1.0 (src/mesher.rs:522-526). The correct rule is < 0.0
     # (our default); set to 1.0 to replicate the reference bit-for-bit.
     ccw_threshold: float = 0.0
+    # Sparse operator format: "auto" picks DIA (band/stencil SpMV, the fast
+    # TPU path) when the mesh's (col-row) offset set is small, else ELL
+    # (gather SpMV). "dia"/"ell" force a format.
+    operator: str = "auto"
+    max_diags: int = 48
     # Dense direct solve below this many nodes (fast + exact for tiny meshes).
     dense_cutoff: int = 0
     dtype: Optional[str] = None  # None = f64 if x64 enabled else f32

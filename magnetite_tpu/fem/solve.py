@@ -80,15 +80,127 @@ def _jitted_core(
     atol: float,
     maxiter: int,
     stress_sign_threshold: float,
-    dense: bool,
+    mode: str,  # "dense" | "ell" | "dia"
+    dia_offsets: tuple = (),
 ):
     """Build + cache the jitted solve core for one option set."""
+    dense = mode == "dense"
 
     def core(coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t):
         free = (~u_known).astype(coords.dtype)  # [N,2]
         ke = element_stiffness_matrices(coords, tris, e, nu, t)
 
-        if dense:
+        if mode == "stencil":
+            from .multigrid import build_hierarchy, vcycle_preconditioner
+            from .stencil import (
+                assemble_stencil,
+                make_stencil_operator,
+                shift2d,
+                OFFSETS,
+                CENTER,
+            )
+
+            rows, cols_n, wrap = dia_offsets  # repurposed static params
+            grid = lambda a: a.T.reshape(2, rows, cols_n)
+            free_g = grid(free)
+            raw = assemble_stencil(ke, slot_ids, rows, cols_n)
+            # fold BC reduction into the stencil: identity on fixed DOFs
+            reduced = []
+            for s, (dr, dt) in enumerate(OFFSETS):
+                fin = shift2d(free_g, dr, dt, wrap)
+                blk = raw[s] * free_g[:, None] * fin[None, :]
+                if s == CENTER:
+                    blk = blk.at[0, 0].add(1.0 - free_g[0])
+                    blk = blk.at[1, 1].add(1.0 - free_g[1])
+                reduced.append(blk)
+            reduced = jnp.stack(reduced)
+            op = make_stencil_operator(reduced, wrap)
+
+            u_fixed_g = grid(u_value)
+            f_g = grid(f_value)
+            # reduced RHS: fixed DOFs contribute through the RAW operator
+            raw_op = make_stencil_operator(raw, wrap)
+            b = free_g * (f_g - raw_op((1.0 - free_g) * u_fixed_g)) + (
+                1.0 - free_g
+            ) * u_fixed_g
+
+            if preconditioner == "multigrid":
+                levels = build_hierarchy(reduced, free_g, wrap)
+                precond = vcycle_preconditioner(levels, wrap)
+            elif preconditioner == "none":
+                precond = identity_preconditioner()
+            else:
+                from .dia import block_jacobi_inverse_t
+
+                # center blocks of the reduced stencil are the diagonal
+                d = reduced[CENTER]
+                a_, b_ = d[0, 0], d[0, 1]
+                c_, e_ = d[1, 0], d[1, 1]
+                det = a_ * e_ - b_ * c_
+                det = jnp.where(det == 0, 1.0, det)
+                inv = (
+                    jnp.stack(
+                        [jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]
+                    )
+                    / det
+                )
+
+                def precond(r):
+                    return jnp.einsum("ijrc,jrc->irc", inv, r)
+
+            result = pcg(
+                op,
+                b,
+                preconditioner=precond,
+                x0=u_fixed_g,
+                rtol=rtol,
+                atol=atol,
+                maxiter=maxiter,
+            )
+            u = result.x.reshape(2, -1).T  # [N,2]
+            ku = raw_op(result.x).reshape(2, -1).T
+            iters = result.iterations
+            resnorm = result.residual_norm
+            converged = result.converged
+        elif mode == "dia":
+            from .dia import (
+                assemble_dia,
+                block_jacobi_inverse_t,
+                dia_diag_blocks,
+                make_dia_operator,
+            )
+
+            n = coords.shape[0]
+            bands = assemble_dia(ke, slot_ids, n, len(dia_offsets))
+            matvec_t = make_dia_operator(bands, dia_offsets)
+            free_t = free.T  # [2, N] transposed layout, N minormost
+            u_fixed_t = u_value.T
+            f_t = f_value.T
+
+            def op(v):
+                return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
+
+            diag_t = dia_diag_blocks(bands, dia_offsets)
+            if preconditioner == "none":
+                precond = identity_preconditioner()
+            else:
+                precond = block_jacobi_inverse_t(diag_t, free_t)
+            b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
+            result = pcg(
+                op,
+                b,
+                preconditioner=precond,
+                x0=u_fixed_t,
+                rtol=rtol,
+                atol=atol,
+                maxiter=maxiter,
+            )
+            u = result.x.T
+            ku = matvec_t(result.x).T
+            iters = result.iterations
+            resnorm = result.residual_norm
+            converged = result.converged
+        elif dense:
             n = coords.shape[0]
             kmat = assemble_dense(ke, tris, n)
             free_f = free.reshape(-1)
@@ -168,16 +280,49 @@ def solve_system(
         )
 
     t0 = time.perf_counter()
-    dense = n <= options.dense_cutoff
-    if dense:
-        cols = np.zeros((n, 1), dtype=np.int32)
-        slot_ids = np.zeros(mesh.num_elements * 9, dtype=np.int32)
-    else:
+    mode = "dense" if n <= options.dense_cutoff else None
+    dia_offsets: tuple = ()
+    cols = np.zeros((1, 1), dtype=np.int32)
+    slot_ids = np.zeros(1, dtype=np.int32)
+    if (
+        mode is None
+        and options.operator in ("auto", "stencil")
+        and mesh.grid_shape is not None
+    ):
+        from .stencil import build_stencil_structure
+
+        rows_g, cols_g = mesh.grid_shape
+        st = build_stencil_structure(mesh.tris, rows_g, cols_g, mesh.wrap_cols)
+        if st is not None:
+            mode = "stencil"
+            slot_ids = st.slot_ids
+            dia_offsets = (rows_g, cols_g, mesh.wrap_cols)
+        elif options.operator == "stencil":
+            raise SolverError(
+                "mesh connectivity is not grid-local; stencil operator "
+                "unavailable"
+            )
+    if mode is None and options.operator in ("auto", "dia"):
+        from .dia import build_dia_structure
+
+        dia = build_dia_structure(mesh.tris, n, max_diags=options.max_diags)
+        if dia is not None:
+            mode = "dia"
+            slot_ids = dia.slot_ids
+            dia_offsets = tuple(int(o) for o in dia.offsets)
+        elif options.operator == "dia":
+            raise SolverError(
+                f"mesh needs more than {options.max_diags} diagonal bands; "
+                "use operator='ell' or renumber the mesh"
+            )
+    if mode is None:
+        mode = "ell"
         if structure is None:
             structure = build_ell_structure(mesh.tris, n)
         cols = structure.cols
         slot_ids = structure.slot_ids
     timings["structure_s"] = time.perf_counter() - t0
+    timings["operator"] = mode
 
     # f32 cannot reach f64-grade residuals; clamp the tolerance to what the
     # working precision supports (~50x machine epsilon).
@@ -185,13 +330,34 @@ def solve_system(
     if dtype == np.float32:
         rtol = max(rtol, 50 * float(np.finfo(np.float32).eps))
 
+    preconditioner = options.preconditioner
+    if preconditioner == "auto":
+        if mode == "stencil":
+            rows_g, cols_g, wrap_g = dia_offsets
+            from .multigrid import can_coarsen
+
+            preconditioner = (
+                "multigrid"
+                if can_coarsen(rows_g, cols_g, wrap_g)
+                else "block_jacobi"
+            )
+        else:
+            preconditioner = "block_jacobi"
+    elif preconditioner == "multigrid" and mode != "stencil":
+        raise SolverError(
+            "multigrid preconditioner requires a structured-grid mesh "
+            "(stencil operator)"
+        )
+    timings["preconditioner"] = preconditioner
+
     core = _jitted_core(
-        options.preconditioner,
+        preconditioner,
         rtol,
         float(options.cg_atol),
         int(options.max_cg_iters),
         float(options.stress_sign_threshold),
-        dense,
+        mode,
+        dia_offsets,
     )
 
     t0 = time.perf_counter()

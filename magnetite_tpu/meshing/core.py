@@ -7,6 +7,7 @@ The device boundary of the framework: a `Mesh` is plain flat numpy arrays
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
 
 import numpy as np
 
@@ -19,10 +20,17 @@ class Mesh:
 
     coords: [N, 2] float64 node coordinates.
     tris:   [E, 3] int32 node indices per triangle (CCW after normalization).
+
+    Structured meshes (from the generators) carry their logical grid:
+    grid_shape=(rows, cols) with node index = row*cols + col, and wrap_cols
+    True when the col axis is periodic (annulus). This unlocks the stencil
+    operator and geometric-multigrid paths; unstructured meshes leave it None.
     """
 
     coords: np.ndarray
     tris: np.ndarray
+    grid_shape: Optional[tuple[int, int]] = None
+    wrap_cols: bool = False
 
     @property
     def num_nodes(self) -> int:
@@ -69,4 +77,9 @@ def normalize_orientation(mesh: Mesh, threshold: float = 0.0) -> Mesh:
     flip = areas < threshold
     tris = mesh.tris.copy()
     tris[flip] = tris[flip][:, ::-1]
-    return Mesh(coords=mesh.coords, tris=tris)
+    return Mesh(
+        coords=mesh.coords,
+        tris=tris,
+        grid_shape=mesh.grid_shape,
+        wrap_cols=mesh.wrap_cols,
+    )

@@ -41,7 +41,12 @@ def rect_mesh(
     lower = np.stack([n00, n10, n11], axis=-1).reshape(-1, 3)
     upper = np.stack([n00, n11, n01], axis=-1).reshape(-1, 3)
     tris = np.concatenate([lower, upper], axis=0).astype(np.int32)
-    mesh = Mesh(coords=coords.astype(np.float64), tris=tris)
+    mesh = Mesh(
+        coords=coords.astype(np.float64),
+        tris=tris,
+        grid_shape=(ny + 1, nx + 1),
+        wrap_cols=False,
+    )
     mesh.validate()
     return mesh
 
@@ -86,7 +91,12 @@ def plate_with_hole_mesh(
     lower = np.stack([n00, n10, n11], axis=-1).reshape(-1, 3)
     upper = np.stack([n00, n11, n01], axis=-1).reshape(-1, 3)
     tris = np.concatenate([lower, upper], axis=0).astype(np.int32)
-    mesh = Mesh(coords=coords.astype(np.float64), tris=tris)
+    mesh = Mesh(
+        coords=coords.astype(np.float64),
+        tris=tris,
+        grid_shape=(n_radial + 1, n_tangential),
+        wrap_cols=True,
+    )
     mesh = normalize_orientation(mesh)
     mesh.validate()
     return mesh

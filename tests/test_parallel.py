@@ -1,0 +1,106 @@
+"""Sharded PCG + vmapped sweep tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from magnetite_tpu import oracle
+from magnetite_tpu.config import SolverOptions
+from magnetite_tpu.fem.solve import solve_system
+from magnetite_tpu.meshing.generators import rect_mesh, tensile_bcs_for_rect
+from magnetite_tpu.parallel.sharding import (
+    prepare_sharded_problem,
+    sharded_pcg_solve,
+)
+from magnetite_tpu.parallel.sweep import sweep_solve
+
+
+@pytest.fixture(scope="module")
+def device_mesh():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
+    return jax.make_mesh((8,), ("rows",))
+
+
+def test_sharded_pcg_matches_single_device(metadata, device_mesh):
+    mesh = rect_mesh(13, 7, width=2.0)  # N=112 not divisible by 8 -> padding
+    bca = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+
+    problem = prepare_sharded_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float64
+    )
+    result = sharded_pcg_solve(problem, rtol=1e-11)
+    assert bool(result.converged)
+
+    u_sharded = np.asarray(result.x)[: mesh.num_nodes]
+    reference = solve_system(mesh, bca, metadata, SolverOptions())
+    scale = np.abs(reference.u).max()
+    np.testing.assert_allclose(
+        u_sharded, reference.u, rtol=1e-7, atol=1e-9 * scale
+    )
+
+
+def test_sharded_padding_rows_inert(metadata, device_mesh):
+    mesh = rect_mesh(5, 3)  # N=24 -> no padding vs N=28 cases both fine
+    bca = tensile_bcs_for_rect(mesh.coords, pull=0.002)
+    problem = prepare_sharded_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float64
+    )
+    result = sharded_pcg_solve(problem, rtol=1e-10)
+    x = np.asarray(result.x)
+    # padded rows (if any) stay exactly zero
+    np.testing.assert_array_equal(x[mesh.num_nodes :], 0.0)
+
+
+def test_sweep_matches_individual_solves(metadata):
+    mesh = rect_mesh(6, 4, width=2.0)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    pulls = np.array([0.005, 0.01, 0.02, 0.04])
+    b = pulls.size
+
+    u_values = np.tile(base.u_value[None], (b, 1, 1))
+    right_x = np.isclose(mesh.coords[:, 0], 2.0)
+    for i, p in enumerate(pulls):
+        u_values[i][right_x, 0] = p
+    f_values = np.zeros((b, mesh.num_nodes, 2))
+    k_scales = np.ones(b)
+
+    sweep = sweep_solve(
+        mesh,
+        base,
+        metadata,
+        u_values,
+        f_values,
+        k_scales,
+        iterations=300,
+        dtype=np.float64,
+    )
+    assert sweep.u.shape == (b, mesh.num_nodes, 2)
+
+    for i, p in enumerate(pulls):
+        bca_i = tensile_bcs_for_rect(mesh.coords, pull=p)
+        ref = solve_system(mesh, bca_i, metadata, SolverOptions())
+        scale = np.abs(ref.u).max()
+        np.testing.assert_allclose(
+            np.asarray(sweep.u[i]), ref.u, rtol=1e-6, atol=1e-8 * scale
+        )
+
+
+def test_sweep_k_scale_linearity(metadata):
+    """Displacement-driven: u independent of stiffness scale; von Mises
+    scales linearly with the Young's-modulus factor."""
+    mesh = rect_mesh(5, 3)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    b = 3
+    u_values = np.tile(base.u_value[None], (b, 1, 1))
+    f_values = np.zeros((b, mesh.num_nodes, 2))
+    k_scales = np.array([1.0, 2.0, 4.0])
+    sweep = sweep_solve(
+        mesh, base, metadata, u_values, f_values, k_scales,
+        iterations=200, dtype=np.float64,
+    )
+    u = np.asarray(sweep.u)
+    np.testing.assert_allclose(u[1], u[0], rtol=1e-9, atol=1e-12)
+    vm = np.asarray(sweep.von_mises)
+    np.testing.assert_allclose(vm[1], 2 * vm[0], rtol=1e-9)
+    np.testing.assert_allclose(vm[2], 4 * vm[0], rtol=1e-9)
