@@ -201,7 +201,9 @@ def build_hierarchy(
     while len(levels) < max_levels and can_coarsen(rows, cols, wrap_cols):
         rc = (rows - 1) // 2 + 1
         cc = cols // 2 if wrap_cols else (cols - 1) // 2 + 1
-        op = make_stencil_operator(levels[-1].stencil, wrap_cols)
+        # XLA impl here: RAP probing runs under vmap, where the Pallas
+        # kernel's whole-array VMEM residency would batch poorly
+        op = make_stencil_operator(levels[-1].stencil, wrap_cols, impl="xla")
         coarse = galerkin_coarse_stencil(op, rc, cc, wrap_cols, dtype)
         levels.append(
             MGLevel(

@@ -96,10 +96,10 @@ def shift2d(u: jax.Array, dr: int, dt: int, wrap_cols: bool) -> jax.Array:
     return out
 
 
-def stencil_matvec(
+def stencil_matvec_xla(
     stencil: jax.Array, u: jax.Array, wrap_cols: bool
 ) -> jax.Array:
-    """y = K u on grid fields u [2, R, C] -> [2, R, C].
+    """y = K u on grid fields u [2, R, C] -> [2, R, C] (pure-XLA rolls).
 
     Row-shift zero padding is belt-and-braces: boundary stencil entries that
     would reach outside the grid are already zero by construction.
@@ -111,14 +111,33 @@ def stencil_matvec(
     return y
 
 
+def stencil_matvec(
+    stencil: jax.Array, u: jax.Array, wrap_cols: bool
+) -> jax.Array:
+    """y = K u, dispatching to the Pallas kernel on TPU when applicable
+    (~1.7x the XLA version: streams bands once, shifts in-register)."""
+    rows, cols = stencil.shape[-2], stencil.shape[-1]
+    if jax.default_backend() == "tpu":
+        from ..pallas.stencil_kernel import (
+            pallas_applicable,
+            stencil_matvec_pallas,
+        )
+
+        if pallas_applicable(rows, cols, u.dtype):
+            return stencil_matvec_pallas(stencil, u, wrap_cols)
+    return stencil_matvec_xla(stencil, u, wrap_cols)
+
+
 def stencil_diag_blocks(stencil: jax.Array) -> jax.Array:
     """Diagonal 2x2 blocks, [2, 2, R, C]."""
     return stencil[CENTER]
 
 
-def make_stencil_operator(stencil: jax.Array, wrap_cols: bool):
+def make_stencil_operator(stencil: jax.Array, wrap_cols: bool, impl: str = "auto"):
+    fn = stencil_matvec if impl == "auto" else stencil_matvec_xla
+
     def op(u: jax.Array) -> jax.Array:
-        return stencil_matvec(stencil, u, wrap_cols)
+        return fn(stencil, u, wrap_cols)
 
     return op
 

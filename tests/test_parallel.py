@@ -86,6 +86,39 @@ def test_sweep_matches_individual_solves(metadata):
         )
 
 
+def test_sweep_lanes_matches_vmap(metadata):
+    """The lane-batched (batch-minor) sweep must agree with the vmap path."""
+    mesh = rect_mesh(6, 4, width=2.0)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    b = 8
+    rng = np.random.default_rng(7)
+    u_values = np.tile(base.u_value[None], (b, 1, 1))
+    right = np.isclose(mesh.coords[:, 0], 2.0)
+    u_values[:, right, 0] = rng.uniform(0.005, 0.02, b)[:, None]
+    f_values = np.zeros((b, mesh.num_nodes, 2))
+    k_scales = rng.uniform(0.5, 2.0, b)
+
+    kwargs = dict(iterations=300, dtype=np.float64)
+    lanes = sweep_solve(
+        mesh, base, metadata, u_values, f_values, k_scales,
+        impl="lanes", **kwargs,
+    )
+    vmapped = sweep_solve(
+        mesh, base, metadata, u_values, f_values, k_scales,
+        impl="vmap", **kwargs,
+    )
+    scale = np.abs(np.asarray(vmapped.u)).max()
+    np.testing.assert_allclose(
+        np.asarray(lanes.u), np.asarray(vmapped.u), rtol=1e-8,
+        atol=1e-10 * scale,
+    )
+    np.testing.assert_allclose(
+        np.asarray(lanes.von_mises),
+        np.asarray(vmapped.von_mises),
+        rtol=1e-7,
+    )
+
+
 def test_sweep_k_scale_linearity(metadata):
     """Displacement-driven: u independent of stiffness scale; von Mises
     scales linearly with the Young's-modulus factor."""
