@@ -46,12 +46,21 @@ class EllStructure:
 
 
 def build_ell_structure(tris: np.ndarray, n_nodes: int) -> EllStructure:
-    """Build the block-ELL pattern from triangle connectivity (host, numpy).
+    """Build the block-ELL pattern from triangle connectivity (host).
 
     For every element, all 9 ordered node pairs (a,b) couple. We enumerate
     the unique pairs per row, rank them by column index, and record for each
-    of the E*9 contributions its destination slot.
+    of the E*9 contributions its destination slot. The native C++ builder
+    (magnetite_tpu.native) is used when available; numpy otherwise.
     """
+    from ..native import ell_structure as native_ell
+
+    native = native_ell(np.asarray(tris), int(n_nodes))
+    if native is not None:
+        cols, slot_ids, width = native
+        return EllStructure(
+            cols=cols, slot_ids=slot_ids, n_nodes=int(n_nodes), width=width
+        )
     tris = np.asarray(tris, dtype=np.int64)
     e = tris.shape[0]
     # rows/cols of all E*9 ordered pairs, laid out [E, 3, 3] = (a, b)

@@ -51,7 +51,23 @@ class DiaStructure:
 def build_dia_structure(
     tris: np.ndarray, n_nodes: int, max_diags: int = 48
 ) -> Optional[DiaStructure]:
-    """Build the DIA pattern, or None if the mesh needs > max_diags bands."""
+    """Build the DIA pattern, or None if the mesh needs > max_diags bands.
+
+    Native C++ builder when available; numpy otherwise.
+    """
+    from ..native import dia_structure as native_dia
+
+    native = native_dia(np.asarray(tris), int(n_nodes), max_diags)
+    if native is False:
+        return None
+    if native is not None:
+        offsets, slot_ids = native
+        return DiaStructure(
+            offsets=offsets,
+            slot_ids=slot_ids,
+            n_nodes=int(n_nodes),
+            n_diags=int(offsets.size),
+        )
     tris = np.asarray(tris, dtype=np.int64)
     e = tris.shape[0]
     rows = np.repeat(tris, 3, axis=1).reshape(-1)  # [E*9] (a-major)

@@ -21,7 +21,26 @@ from .core import Mesh
 
 
 def parse_msh(text: str) -> Mesh:
-    """Parse MSH 4.1 ASCII content into a Mesh (orientation NOT yet fixed)."""
+    """Parse MSH 4.1 ASCII content into a Mesh (orientation NOT yet fixed).
+
+    Uses the native C++ parser (magnetite_tpu.native) when available; the
+    numpy implementation below is the reference/fallback path.
+    """
+    from ..native import msh_parse as native_msh_parse
+
+    try:
+        native = native_msh_parse(text)
+    except ValueError as err:
+        raise MesherError(str(err))
+    if native is not None:
+        coords, tris = native
+        if tris.size and (tris.min() < 0 or tris.max() >= coords.shape[0]):
+            raise MesherError("element node index out of range in mesh file")
+        return Mesh(coords=coords, tris=tris)
+    return _parse_msh_numpy(text)
+
+
+def _parse_msh_numpy(text: str) -> Mesh:
     lines = text.split("\n")
     i = 0
     n_lines = len(lines)

@@ -1,0 +1,190 @@
+"""ctypes bindings for the native C++ host runtime.
+
+The device compute path is JAX/XLA/Pallas; the host runtime around it
+(MSH parsing, sparsity-structure building) has C++ fast paths here, the
+analog of the reference's compiled Rust host loops. Everything degrades
+gracefully to the numpy implementations when the shared library is missing
+or the toolchain can't build it (`MAGNETITE_NO_NATIVE=1` disables
+explicitly).
+
+Build: `make -C native` (done automatically on first use when g++ exists).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "libmagnetite_native.so")
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_failed = False
+
+
+def _try_build() -> bool:
+    try:
+        proc = subprocess.run(
+            ["make", "-C", _NATIVE_DIR],
+            capture_output=True,
+            text=True,
+            timeout=120,
+        )
+        return proc.returncode == 0 and os.path.exists(_SO_PATH)
+    except Exception:
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native library, or None."""
+    global _lib, _load_failed
+    if _lib is not None:
+        return _lib
+    if _load_failed or os.environ.get("MAGNETITE_NO_NATIVE") == "1":
+        return None
+    with _lib_lock:
+        if _lib is not None:
+            return _lib
+        if not os.path.exists(_SO_PATH) and not _try_build():
+            _load_failed = True
+            return None
+        try:
+            lib = ctypes.CDLL(_SO_PATH)
+        except OSError:
+            _load_failed = True
+            return None
+
+        i64 = ctypes.c_int64
+        lib.msh_count.restype = ctypes.c_int
+        lib.msh_count.argtypes = [
+            ctypes.c_char_p, i64,
+            ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
+        ]
+        lib.msh_fill.restype = ctypes.c_int
+        lib.msh_fill.argtypes = [
+            ctypes.c_char_p, i64,
+            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            i64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        lib.ell_structure_width.restype = i64
+        lib.ell_structure_width.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            i64, i64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.ell_structure_fill.restype = ctypes.c_int
+        lib.ell_structure_fill.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            i64, i64, i64,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        ]
+        lib.dia_structure.restype = i64
+        lib.dia_structure.argtypes = [
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            i64, i64, i64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+# ------------------------------- wrappers ----------------------------------
+
+
+def msh_parse(text: str):
+    """Native MSH 4.1 parse -> (coords [N,2] f64, tris [E,3] i32) or None.
+
+    Returns None when the native library is unavailable; raises ValueError
+    for malformed input the same way the numpy parser does.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    buf = text.encode()
+    n_nodes = ctypes.c_int64()
+    n_tris = ctypes.c_int64()
+    max_tag = ctypes.c_int64()
+    rc = lib.msh_count(
+        buf, len(buf),
+        ctypes.byref(n_nodes), ctypes.byref(n_tris), ctypes.byref(max_tag),
+    )
+    if rc == -1:
+        raise ValueError("mesh file has no $Nodes section")
+    if rc == -2:
+        raise ValueError("mesh file has no 2D elements")
+    if rc == -3:
+        raise ValueError("unsupported 2D element type (only 3-node triangles)")
+    if rc != 0 or n_tris.value == 0:
+        raise ValueError("mesh file has no 2D elements")
+
+    coords = np.zeros((max_tag.value, 2), dtype=np.float64)
+    tags = np.zeros(n_nodes.value, dtype=np.int64)
+    tris = np.zeros((n_tris.value, 3), dtype=np.int32)
+    rc = lib.msh_fill(buf, len(buf), coords, tags, max_tag.value, tris)
+    if rc != 0:
+        raise ValueError(f"malformed mesh file (native parser code {rc})")
+
+    if n_nodes.value != max_tag.value:
+        # sparse tags: compact through the live set
+        live = np.zeros(max_tag.value, dtype=bool)
+        live[tags - 1] = True
+        remap = -np.ones(max_tag.value, dtype=np.int64)
+        remap[live] = np.arange(int(live.sum()))
+        coords = coords[live]
+        tris = remap[tris].astype(np.int32)
+        if (tris < 0).any():
+            raise ValueError("element references unknown node tag")
+    return coords, tris
+
+
+def ell_structure(tris: np.ndarray, n_nodes: int):
+    """Native block-ELL structure -> (cols [N,K] i32, slot_ids [9E] i32,
+    width) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    e = tris.shape[0]
+    scratch = np.empty(9 * e, dtype=np.int64)
+    width = lib.ell_structure_width(tris, e, n_nodes, scratch)
+    if width < 0:
+        raise ValueError("element node index out of range")
+    cols = np.empty((n_nodes, width), dtype=np.int32)
+    slot_ids = np.empty(9 * e, dtype=np.int32)
+    rc = lib.ell_structure_fill(tris, e, n_nodes, width, cols, slot_ids, scratch)
+    if rc != 0:
+        raise ValueError(f"ELL structure build failed (code {rc})")
+    return cols, slot_ids, int(width)
+
+
+def dia_structure(tris: np.ndarray, n_nodes: int, max_diags: int):
+    """Native DIA structure -> (offsets [D] i64, slot_ids [9E] i32) or
+    None if unavailable; False if the mesh exceeds max_diags."""
+    lib = load()
+    if lib is None:
+        return None
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    e = tris.shape[0]
+    offsets = np.empty(min(max_diags, 512), dtype=np.int64)
+    slot_ids = np.empty(9 * e, dtype=np.int32)
+    n_diags = lib.dia_structure(
+        tris, e, n_nodes, min(max_diags, 512), offsets, slot_ids
+    )
+    if n_diags < 0:
+        return False
+    return offsets[:n_diags].copy(), slot_ids
