@@ -86,6 +86,100 @@ def build_dia_structure(
     )
 
 
+@dataclass
+class HybridStructure:
+    """DIA bands for the dominant offsets + a small COO remainder.
+
+    Meshes with near-lattice numbering (the built-in mesher's row-sorted
+    output) concentrate >90% of couplings in a few dozen (col-row) offsets;
+    the tail goes into a scatter-add remainder so the hot SpMV stays
+    gather-free.
+
+    offsets: [D] chosen band offsets (0 always included).
+    slot_ids: [E*9] destinations: band slots in [0, D*N), remainder blocks
+              at D*N + r.
+    rem_rows/rem_cols: [R] node indices of the remainder blocks.
+    """
+
+    offsets: np.ndarray
+    slot_ids: np.ndarray
+    rem_rows: np.ndarray
+    rem_cols: np.ndarray
+    n_nodes: int
+    n_diags: int
+
+    @property
+    def n_rem(self) -> int:
+        return int(self.rem_rows.size)
+
+
+def build_hybrid_structure(
+    tris: np.ndarray, n_nodes: int, max_diags: int = 48
+) -> HybridStructure:
+    """Band + remainder pattern: top-`max_diags` offsets by coupling count."""
+    tris = np.asarray(tris, dtype=np.int64)
+    rows = np.repeat(tris, 3, axis=1).reshape(-1)
+    cols = np.tile(tris, (1, 3)).reshape(-1)
+    offs = cols - rows
+    uniq, inverse, counts = np.unique(offs, return_inverse=True, return_counts=True)
+
+    zero_pos = np.searchsorted(uniq, 0)
+    order = np.argsort(-counts)
+    chosen = order[:max_diags]
+    if zero_pos not in chosen:
+        chosen = np.concatenate([[zero_pos], chosen[: max_diags - 1]])
+    chosen_offsets = np.sort(uniq[chosen])
+
+    in_band = np.isin(uniq, chosen_offsets)[inverse]
+    d_idx = np.searchsorted(chosen_offsets, offs)
+    band_slots = d_idx * n_nodes + rows
+
+    # remainder: unique (row, col) blocks among out-of-band pairs
+    rem_keys = rows[~in_band] * np.int64(n_nodes) + cols[~in_band]
+    rem_uniq, rem_inv = np.unique(rem_keys, return_inverse=True)
+    d = chosen_offsets.size
+    slot_ids = np.where(in_band, band_slots, 0)
+    slot_ids[~in_band] = d * n_nodes + rem_inv
+
+    return HybridStructure(
+        offsets=chosen_offsets,
+        slot_ids=slot_ids.astype(np.int64),
+        rem_rows=(rem_uniq // n_nodes).astype(np.int32),
+        rem_cols=(rem_uniq % n_nodes).astype(np.int32),
+        n_nodes=int(n_nodes),
+        n_diags=int(d),
+    )
+
+
+def assemble_hybrid(
+    ke: jax.Array, slot_ids, n_nodes: int, n_diags: int, n_rem: int
+):
+    """Device assembly -> (bands [D,2,2,N], rem [R,2,2])."""
+    from .assembly import element_blocks
+
+    blocks = element_blocks(ke)
+    flat = jax.ops.segment_sum(
+        blocks, jnp.asarray(slot_ids), num_segments=n_diags * n_nodes + n_rem
+    )
+    bands = flat[: n_diags * n_nodes].reshape(n_diags, n_nodes, 2, 2)
+    return bands.transpose(0, 2, 3, 1), flat[n_diags * n_nodes :]
+
+
+def hybrid_matvec(
+    bands: jax.Array,
+    offsets: tuple[int, ...],
+    rem_vals: jax.Array,  # [R, 2, 2]
+    rem_rows: jax.Array,  # [R]
+    rem_cols: jax.Array,  # [R]
+    u: jax.Array,  # [2, N]
+):
+    """y = K u: band rolls + a small COO scatter-add remainder."""
+    y = dia_matvec(bands, offsets, u)
+    ug = u[:, rem_cols]  # [2, R]
+    contrib = jnp.einsum("rij,jr->ir", rem_vals, ug)  # [2, R]
+    return y.at[:, rem_rows].add(contrib)
+
+
 def assemble_dia(ke: jax.Array, slot_ids, n_nodes: int, n_diags: int) -> jax.Array:
     """Device assembly: element blocks -> bands [D, 2, 2, N] (N minormost)."""
     from .assembly import element_blocks

@@ -162,6 +162,53 @@ def _jitted_core(
             iters = result.iterations
             resnorm = result.residual_norm
             converged = result.converged
+        elif mode == "hybrid":
+            from .dia import (
+                assemble_hybrid,
+                block_jacobi_inverse_t,
+                hybrid_matvec,
+            )
+
+            n = coords.shape[0]
+            n_rem = cols.shape[1]
+            rem_rows, rem_cols = cols[0], cols[1]
+            bands, rem_vals = assemble_hybrid(
+                ke, slot_ids, n, len(dia_offsets), n_rem
+            )
+
+            def matvec_t(v):
+                return hybrid_matvec(
+                    bands, dia_offsets, rem_vals, rem_rows, rem_cols, v
+                )
+
+            free_t = free.T
+            u_fixed_t = u_value.T
+            f_t = f_value.T
+
+            def op(v):
+                return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
+
+            zero_idx = dia_offsets.index(0)
+            diag_t = bands[zero_idx]
+            if preconditioner == "none":
+                precond = identity_preconditioner()
+            else:
+                precond = block_jacobi_inverse_t(diag_t, free_t)
+            b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
+            result = pcg(
+                op,
+                b,
+                preconditioner=precond,
+                x0=u_fixed_t,
+                rtol=rtol,
+                atol=atol,
+                maxiter=maxiter,
+            )
+            u = result.x.T
+            ku = matvec_t(result.x).T
+            iters = result.iterations
+            resnorm = result.residual_norm
+            converged = result.converged
         elif mode == "dia":
             from .dia import (
                 assemble_dia,
@@ -378,6 +425,16 @@ def compile_problem(
                 f"mesh needs more than {options.max_diags} diagonal bands; "
                 "use operator='ell' or renumber the mesh"
             )
+    if mode is None and options.operator in ("auto", "hybrid"):
+        from .dia import build_hybrid_structure
+
+        hyb = build_hybrid_structure(mesh.tris, n, max_diags=options.max_diags)
+        mode = "hybrid"
+        slot_ids = hyb.slot_ids
+        dia_offsets = tuple(int(o) for o in hyb.offsets)
+        cols = np.stack([hyb.rem_rows, hyb.rem_cols]).astype(np.int32)
+        if cols.shape[1] == 0:  # fully banded after all
+            cols = np.zeros((2, 1), dtype=np.int32)
     if mode is None:
         mode = "ell"
         if structure is None:

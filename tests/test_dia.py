@@ -143,10 +143,17 @@ def test_solve_dia_unavailable_raises(metadata):
         solve_system(
             scrambled, bca, metadata, SolverOptions(operator="dia", max_diags=16)
         )
+    # auto falls through to the hybrid band+remainder operator...
+    auto = solve_system(scrambled, bca, metadata, SolverOptions(max_diags=16))
+    assert auto.timings["operator"] == "hybrid"
+    # ...and plain gather-ELL stays available explicitly
     result = solve_system(
-        scrambled, bca, metadata, SolverOptions(max_diags=16)
+        scrambled, bca, metadata, SolverOptions(operator="ell", max_diags=16)
     )
     assert result.timings["operator"] == "ell"
+    np.testing.assert_allclose(
+        auto.u, result.u, rtol=1e-7, atol=1e-11 * np.abs(result.u).max()
+    )
     ref = solve_system(mesh, tensile_bcs_for_rect(mesh.coords), metadata)
     np.testing.assert_allclose(
         result.u, ref.u[perm], rtol=1e-7, atol=1e-9 * np.abs(ref.u).max()
