@@ -29,7 +29,6 @@ from .stencil import (
     CENTER,
     OFFSETS,
     make_stencil_operator,
-    stencil_matvec,
 )
 
 
@@ -158,6 +157,7 @@ class MGLevel:
     diag_inv: jax.Array  # [2, 2, R, C] inverse center blocks (damped Jacobi)
     rows: int
     cols: int
+    op: Callable[[jax.Array], jax.Array] = None  # matvec (pre-tiled on TPU)
 
 
 def _center_inverse(stencil: jax.Array) -> jax.Array:
@@ -196,6 +196,7 @@ def build_hierarchy(
             diag_inv=_center_inverse(fine_stencil),
             rows=rows,
             cols=cols,
+            op=make_stencil_operator(fine_stencil, wrap_cols),
         )
     ]
     while len(levels) < max_levels and can_coarsen(rows, cols, wrap_cols):
@@ -211,6 +212,7 @@ def build_hierarchy(
                 diag_inv=_center_inverse(coarse),
                 rows=rc,
                 cols=cc,
+                op=make_stencil_operator(coarse, wrap_cols),
             )
         )
         rows, cols = rc, cc
@@ -223,7 +225,7 @@ def build_hierarchy(
 def _smooth(level: MGLevel, wrap_cols, e, r, sweeps: int, omega: float):
     """Damped block-Jacobi: e += omega * D^-1 (r - A e)."""
     for _ in range(sweeps):
-        res = r - stencil_matvec(level.stencil, e, wrap_cols)
+        res = r - level.op(e)
         e = e + omega * jnp.einsum("ijrc,jrc->irc", level.diag_inv, res)
     return e
 
@@ -248,7 +250,7 @@ def vcycle_preconditioner(
         if l == len(levels) - 1:
             return _smooth(level, wrap_cols, zero, r, coarse_sweeps, omega)
         e = _smooth(level, wrap_cols, zero, r, pre_sweeps, omega)
-        res = r - stencil_matvec(level.stencil, e, wrap_cols)
+        res = r - level.op(e)
         ec = cycle(l + 1, restrict(res, wrap_cols))
         e = e + prolong(ec, wrap_cols)
         return _smooth(level, wrap_cols, e, r, post_sweeps, omega)

@@ -1,14 +1,20 @@
 """Pallas TPU kernel for the 9-point block-stencil SpMV.
 
 The XLA stencil matvec (fem/stencil.py) materializes nine shifted copies of
-u per application -- ~2x the ideal HBM traffic. This kernel streams the
-stencil bands through VMEM once, keeps the whole (zero-row-padded) u field
-resident in VMEM, and forms all nine shifted views in-register per row tile:
+u per application -- ~2x the ideal HBM traffic. This kernel reads every band
+exactly once and keeps the whole (zero-row-padded) u field resident in VMEM.
 
-  traffic per matvec = 36*R*C*4 (bands) + 2*R*C*4 (u) + 2*R*C*4 (y)
+Band layout is the whole trick. The assembled stencil [9, 2, 2, R, C] would
+make each grid step fetch 36 separate strided row-tile planes -- measured
+~360 GB/s on v5e, descriptor-overhead-bound. Pre-tiling the bands to
+[G, 9, 2, 2, tr, C] (G = R/tr row tiles) turns each grid step's band read
+into ONE contiguous 36*tr*C*4-byte DMA: measured ~735 GB/s (~90% of the
+v5e's 819 GB/s HBM roofline). The pre-tile transpose costs one pass over the
+bands and is done once per assembly (`pretile_stencil`), amortized over all
+CG/multigrid applications via `make_pallas_stencil_operator`.
 
-i.e. the compulsory reads only. Column shifts are lane rolls
-(pltpu.roll); row shifts are dynamic sublane slices into the padded u.
+Inside the kernel, column shifts are lane rolls (pltpu.roll, cheap) and row
+shifts are static sublane slices of an 8-aligned extended load.
 
 Used for the finest multigrid level / CG operator when shapes warrant it
 (cols a multiple of 128, u small enough for VMEM); smaller or CPU cases fall
@@ -24,16 +30,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..fem.stencil import OFFSETS
-
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _pick_row_tile(rows: int, cols: int, dtype_bytes: int = 4) -> int:
-    """Largest row tile whose double-buffered band stream + resident u fit."""
-    u_bytes = 2 * (rows + 2) * cols * dtype_bytes
+def pick_row_tile(rows: int, cols: int, dtype_bytes: int = 4) -> int:
+    """Largest row tile whose double-buffered band DMA + resident u fit."""
+    rows_pad16 = -(-rows // 16) * 16
+    u_bytes = 2 * (rows_pad16 + 16) * cols * dtype_bytes
     for tr in (64, 32, 16, 8):
-        band_bytes = 9 * 4 * tr * cols * dtype_bytes * 2  # double-buffered
+        band_bytes = 36 * tr * cols * dtype_bytes * 2  # double-buffered
         out_bytes = 2 * tr * cols * dtype_bytes * 2
         if u_bytes + band_bytes + out_bytes <= _VMEM_BUDGET:
             return tr
@@ -46,8 +51,26 @@ def pallas_applicable(rows: int, cols: int, dtype=jnp.float32) -> bool:
         return False
     if cols % 128 != 0 or rows < 16:
         return False
-    u_bytes = 2 * (rows + 2) * cols * 4
+    u_bytes = 2 * (rows + 32) * cols * 4
     return u_bytes <= _VMEM_BUDGET // 2
+
+
+def pretile_stencil(stencil: jax.Array, tile_rows: int) -> jax.Array:
+    """[9, 2, 2, R, C] -> [G, 9, 2, 2, tr, C] with zero row padding.
+
+    One device transpose per assembly; makes each kernel grid step's band
+    read a single contiguous DMA.
+    """
+    _, _, _, rows, cols = stencil.shape
+    rows_pad = -(-rows // tile_rows) * tile_rows
+    if rows_pad != rows:
+        stencil = jnp.pad(
+            stencil, ((0, 0), (0, 0), (0, 0), (0, rows_pad - rows), (0, 0))
+        )
+    g = rows_pad // tile_rows
+    return stencil.reshape(9, 2, 2, g, tile_rows, cols).transpose(
+        3, 0, 1, 2, 4, 5
+    )
 
 
 def _kernel(st_ref, u_ref, o_ref, *, tile_rows: int, cols: int, wrap: bool):
@@ -76,51 +99,49 @@ def _kernel(st_ref, u_ref, o_ref, *, tile_rows: int, cols: int, wrap: bool):
             if dt == 0:
                 v0, v1 = u0, u1
             else:
-                shift = (-dt) % cols  # pltpu.roll requires shift >= 0
+                # pltpu.roll wants shift >= 0 and an i32 operand (a bare
+                # Python int lowers to i64 under jax_enable_x64)
+                shift = jnp.int32((-dt) % cols)
                 v0 = pltpu.roll(u0, shift, axis=1)
                 v1 = pltpu.roll(u1, shift, axis=1)
                 if not wrap:
                     edge = last_col if dt == 1 else first_col
                     v0 = jnp.where(edge, 0.0, v0)
                     v1 = jnp.where(edge, 0.0, v1)
-            s00 = st_ref[s, 0, 0]
-            s01 = st_ref[s, 0, 1]
-            s10 = st_ref[s, 1, 0]
-            s11 = st_ref[s, 1, 1]
+            s00 = st_ref[0, s, 0, 0]
+            s01 = st_ref[0, s, 0, 1]
+            s10 = st_ref[0, s, 1, 0]
+            s11 = st_ref[0, s, 1, 1]
             acc0 = acc0 + s00 * v0 + s01 * v1
             acc1 = acc1 + s10 * v0 + s11 * v1
     o_ref[0] = acc0
     o_ref[1] = acc1
 
 
-@partial(jax.jit, static_argnames=("wrap", "interpret"))
-def stencil_matvec_pallas(
-    stencil: jax.Array, u: jax.Array, wrap: bool, interpret: bool = False
+@partial(jax.jit, static_argnames=("rows", "wrap", "interpret"))
+def _matvec_tiled(
+    stencil_tiled: jax.Array,
+    u: jax.Array,
+    rows: int,
+    wrap: bool,
+    interpret: bool = False,
 ) -> jax.Array:
-    """y = K u via the Pallas kernel. stencil [9,2,2,R,C], u [2,R,C]."""
-    _, _, _, rows, cols = stencil.shape
-    tr = _pick_row_tile(rows, cols)
-    rows_pad = -(-rows // tr) * tr
-    pad_r = rows_pad - rows
+    """y = K u from pre-tiled bands [G, 9, 2, 2, tr, C]; u [2, R, C]."""
+    g, _, _, _, tr, cols = stencil_tiled.shape
+    rows_pad = g * tr
 
-    # 8 zero rows above, 8+pad below: row shifts stay in-bounds AND the
-    # kernel's extended loads start 8-aligned
-    u_pad = jnp.pad(u, ((0, 0), (8, 8 + pad_r), (0, 0)))
-    st_pad = (
-        jnp.pad(stencil, ((0, 0), (0, 0), (0, 0), (0, pad_r), (0, 0)))
-        if pad_r
-        else stencil
-    )
+    # 8 zero rows above, below enough that the last tile's extended load
+    # (tr + 16 rows from an 8-aligned start) stays in bounds
+    u_pad = jnp.pad(u, ((0, 0), (8, 8 + rows_pad - rows), (0, 0)))
 
-    grid = rows_pad // tr
     out = pl.pallas_call(
         partial(_kernel, tile_rows=tr, cols=cols, wrap=wrap),
         out_shape=jax.ShapeDtypeStruct((2, rows_pad, cols), u.dtype),
-        grid=(grid,),
+        grid=(g,),
         in_specs=[
             pl.BlockSpec(
-                (9, 2, 2, tr, cols),
-                lambda i: (0, 0, 0, i, 0),
+                (1, 9, 2, 2, tr, cols),
+                lambda i: (i, 0, 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded u
@@ -129,5 +150,33 @@ def stencil_matvec_pallas(
             (2, tr, cols), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(st_pad, u_pad)
+    )(stencil_tiled, u_pad)
     return out[:, :rows, :]
+
+
+def make_pallas_stencil_operator(stencil: jax.Array, wrap: bool):
+    """Pre-tile once, return op(u) for hot loops (CG / multigrid smoothing).
+
+    Call under jit with a loop-invariant stencil: XLA hoists the pre-tile
+    transpose out of the solver loop, so it costs one band pass per solve.
+    """
+    rows, cols = stencil.shape[-2], stencil.shape[-1]
+    tr = pick_row_tile(rows, cols)
+    stencil_tiled = pretile_stencil(stencil, tr)
+
+    def op(u: jax.Array) -> jax.Array:
+        return _matvec_tiled(stencil_tiled, u, rows, wrap)
+
+    return op
+
+
+def stencil_matvec_pallas(
+    stencil: jax.Array, u: jax.Array, wrap: bool, interpret: bool = False
+) -> jax.Array:
+    """One-shot y = K u (pretiles per call -- use the operator factory for
+    loops). stencil [9,2,2,R,C], u [2,R,C]."""
+    rows, cols = stencil.shape[-2], stencil.shape[-1]
+    tr = pick_row_tile(rows, cols)
+    return _matvec_tiled(
+        pretile_stencil(stencil, tr), u, rows, wrap, interpret=interpret
+    )
