@@ -29,8 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "geometry_files",
         metavar="FILE",
-        nargs="+",
-        help="Geometry SVG or CSVs",
+        nargs="*",
+        help="Geometry SVG or CSVs (omit when using --load-case)",
     )
     parser.add_argument(
         "-c",
@@ -71,6 +71,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--profile",
         default=None,
         help="write a jax.profiler trace to this directory",
+    )
+    parser.add_argument(
+        "--save-case",
+        default=None,
+        help="checkpoint mesh+BCs to this npz after meshing",
+    )
+    parser.add_argument(
+        "--load-case",
+        default=None,
+        help="resume from an npz checkpoint instead of meshing",
     )
     return parser
 
@@ -117,14 +127,36 @@ def entry(argv=None) -> None:
         profile_ctx.__enter__()
 
     try:
-        with stage("mesh"):
-            mesh, bca = runner.run(
-                args.geometry_files,
-                sim,
-                backend=args.backend,
-                options=options,
-                log=log,
+        if args.load_case:
+            from .persist import load_case
+
+            with stage("load-case"):
+                mesh, bca, _, _ = load_case(args.load_case)
+            log(
+                f"info: resumed case from {args.load_case} "
+                f"({mesh.num_nodes} nodes, {mesh.num_elements} elements)"
             )
+        else:
+            if not args.geometry_files:
+                from .errors import InputError
+
+                raise InputError(
+                    "no geometry files given (or pass --load-case)"
+                )
+            with stage("mesh"):
+                mesh, bca = runner.run(
+                    args.geometry_files,
+                    sim,
+                    backend=args.backend,
+                    options=options,
+                    log=log,
+                )
+        if args.save_case:
+            from .persist import save_case
+
+            with stage("save-case"):
+                save_case(args.save_case, mesh, bca, metadata=sim.metadata)
+            log(f"info: checkpointed case to {args.save_case}")
         with stage("solve"):
             result = solve_system(mesh, bca, sim.metadata, options)
         log(

@@ -106,6 +106,19 @@ class SolverOptions:
     # Dense direct solve below this many nodes (fast + exact for tiny meshes).
     dense_cutoff: int = 0
     dtype: Optional[str] = None  # None = f64 if x64 enabled else f32
+    # Mixed-precision iterative refinement: f64 operator + residual, f32
+    # CG/multigrid inner solves. "auto" engages it when the requested
+    # cg_rtol is below what the working dtype can reach and x64 is enabled;
+    # "on" forces it (stencil operator only), "off" clamps cg_rtol to the
+    # working precision instead.
+    refine: str = "auto"
+    # Iteration cap for each inner f32 solve between refinement residual
+    # checks, and cap on refinement passes.
+    refine_inner_iters: int = 100
+    refine_max_outer: int = 8
+    # Abort (typed SolverError) if NaN/Inf appears in the assembled operator
+    # or the solution -- the numeric analog of a sanitizer.
+    debug_nans: bool = False
 
 
 @dataclass(frozen=True)

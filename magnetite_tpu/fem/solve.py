@@ -1,12 +1,15 @@
 """End-to-end device solve: stiffness -> assembly -> PCG -> recovery.
 
 Host/device split (the TPU-first layering of reference src/solver.rs:543-586):
-  host:   sparsity structure build (numpy, cached per mesh connectivity)
+  host:   operator-format selection + (for irregular meshes) sparsity
+          structure build; structured-grid meshes build their scatter
+          pattern ON DEVICE from connectivity (stencil_slot_ids_device)
   device: ONE jitted function doing batched element stiffness (einsum),
-          segment_sum ELL assembly, block-Jacobi PCG, force + stress recovery.
+          segment_sum assembly, preconditioned CG (optionally f64/f32
+          mixed-precision iterative refinement), force + stress recovery.
 
-The jitted core is cached per (solver options, shapes) so repeated solves --
-parameter sweeps, CLI reruns -- pay compilation once.
+The jitted core is cached per CoreSpec (solver options + operator format)
+so repeated solves -- parameter sweeps, CLI reruns -- pay compilation once.
 """
 
 from __future__ import annotations
@@ -14,7 +17,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 from functools import lru_cache
-from typing import Optional
+from typing import NamedTuple, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +29,6 @@ from ..errors import SolverError
 from ..meshing.core import Mesh
 from .assembly import (
     assemble_dense,
-    assemble_ell,
     build_ell_structure,
     extract_block_diagonal,
     EllStructure,
@@ -73,227 +75,331 @@ def _make_preconditioner(kind: str, diag_blocks, free_mask):
     raise SolverError(f"unknown preconditioner '{kind}'")
 
 
-@lru_cache(maxsize=32)
-def _jitted_core(
-    preconditioner: str,
-    rtol: float,
-    atol: float,
-    maxiter: int,
-    stress_sign_threshold: float,
-    mode: str,  # "dense" | "ell" | "dia"
-    dia_offsets: tuple = (),
+# --------------------- operator-format static params -----------------------
+
+
+class StencilParams(NamedTuple):
+    """Structured-grid stencil operator (fem/stencil.py)."""
+
+    rows: int
+    cols: int
+    wrap: bool
+    # canonical generator grid: use scatter-free structured assembly
+    canonical: bool = False
+
+
+class DiaParams(NamedTuple):
+    """Diagonal-band operator (fem/dia.py)."""
+
+    offsets: tuple
+
+
+class HybridParams(NamedTuple):
+    """Bands + COO remainder; remainder indices ride in the runtime `cols`
+    array as rows/cols pairs (fem/dia.py HybridStructure)."""
+
+    offsets: tuple
+
+
+class CoreSpec(NamedTuple):
+    """Everything that selects one compiled solver core (hashable)."""
+
+    mode: str  # "dense" | "ell" | "dia" | "hybrid" | "stencil"
+    params: Union[StencilParams, DiaParams, HybridParams, None]
+    preconditioner: str
+    rtol: float
+    atol: float
+    maxiter: int
+    stress_sign_threshold: float
+    refine: bool = False  # f64/f32 mixed-precision refinement (stencil)
+    refine_inner_iters: int = 200
+    refine_max_outer: int = 8
+
+
+# ----------------------------- mode cores ----------------------------------
+
+
+def _grid(a, rows, cols):
+    """[N,2] nodal field -> [2, rows, cols] grid field (cols minormost)."""
+    return a.T.reshape(2, rows, cols)
+
+
+def _ungrid(g):
+    return g.reshape(2, -1).T
+
+
+def _reduce_stencil(raw, free_g, wrap):
+    """Fold the BC mask reduction into the stencil: identity on fixed DOFs."""
+    from .stencil import CENTER, OFFSETS, shift2d
+
+    one = jnp.asarray(1.0, dtype=raw.dtype)
+    reduced = []
+    for s, (dr, dt) in enumerate(OFFSETS):
+        fin = shift2d(free_g, dr, dt, wrap)
+        blk = raw[s] * free_g[:, None] * fin[None, :]
+        if s == CENTER:
+            blk = blk.at[0, 0].add(one - free_g[0])
+            blk = blk.at[1, 1].add(one - free_g[1])
+        reduced.append(blk)
+    return jnp.stack(reduced)
+
+
+def _stencil_preconditioner(spec: CoreSpec, reduced, free_g, wrap):
+    from .multigrid import build_hierarchy, vcycle_preconditioner
+    from .stencil import CENTER
+
+    if spec.preconditioner == "multigrid":
+        levels = build_hierarchy(reduced, free_g, wrap)
+        return vcycle_preconditioner(levels, wrap)
+    if spec.preconditioner == "none":
+        return identity_preconditioner()
+    # block-Jacobi: invert the reduced center blocks
+    d = reduced[CENTER]
+    a_, b_ = d[0, 0], d[0, 1]
+    c_, e_ = d[1, 0], d[1, 1]
+    det = a_ * e_ - b_ * c_
+    det = jnp.where(det == 0, 1.0, det)
+    inv = jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
+
+    def precond(r):
+        return jnp.einsum("ijrc,jrc->irc", inv, r)
+
+    return precond
+
+
+def _solve_stencil(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, nu, t):
+    from .stencil import (
+        assemble_stencil_fused,
+        assemble_stencil_structured,
+        make_stencil_operator,
+    )
+
+    rows, cols_n, wrap, canonical = spec.params
+    free = (~u_known).astype(coords.dtype)
+    free_g = _grid(free, rows, cols_n)
+    u_fixed_g = _grid(u_value, rows, cols_n)
+    f_g = _grid(f_value, rows, cols_n)
+
+    if canonical:
+        raw = assemble_stencil_structured(coords, e, nu, t, rows, cols_n, wrap)
+    else:
+        raw = assemble_stencil_fused(coords, tris, e, nu, t, rows, cols_n, wrap)
+    reduced = _reduce_stencil(raw, free_g, wrap)
+
+    raw_op = make_stencil_operator(raw, wrap)
+    b = free_g * (f_g - raw_op((1.0 - free_g) * u_fixed_g)) + (
+        1.0 - free_g
+    ) * u_fixed_g
+
+    if spec.refine:
+        from .refine import mixed_precision_solve
+
+        reduced32 = reduced.astype(jnp.float32)
+        op64 = make_stencil_operator(reduced, wrap)
+        op32 = make_stencil_operator(reduced32, wrap)
+        precond32 = _stencil_preconditioner(
+            spec, reduced32, free_g.astype(jnp.float32), wrap
+        )
+        result = mixed_precision_solve(
+            op64,
+            op32,
+            b,
+            preconditioner32=precond32,
+            x0=u_fixed_g,
+            rtol=spec.rtol,
+            atol=spec.atol,
+            inner_maxiter=spec.refine_inner_iters,
+            max_outer=spec.refine_max_outer,
+        )
+        x, iters = result.x, result.inner_iterations
+    else:
+        op = make_stencil_operator(reduced, wrap)
+        precond = _stencil_preconditioner(spec, reduced, free_g, wrap)
+        result = pcg(
+            op,
+            b,
+            preconditioner=precond,
+            x0=u_fixed_g,
+            rtol=spec.rtol,
+            atol=spec.atol,
+            maxiter=spec.maxiter,
+        )
+        x, iters = result.x, result.iterations
+
+    u = _ungrid(x)
+    ku = _ungrid(raw_op(x))
+    return u, ku, iters, result.residual_norm, result.converged
+
+
+def _solve_hybrid(
+    spec: CoreSpec, coords, tris, rem_idx, slot_ids, u_known, u_value, f_value, e, nu, t
 ):
-    """Build + cache the jitted solve core for one option set."""
-    dense = mode == "dense"
+    from .dia import assemble_hybrid, block_jacobi_inverse_t, hybrid_matvec
+
+    offsets = spec.params.offsets
+    n = coords.shape[0]
+    rem_rows, rem_cols = rem_idx[0], rem_idx[1]
+    free_t = (~u_known).astype(coords.dtype).T  # [2, N], N minormost
+    u_fixed_t = u_value.T
+    f_t = f_value.T
+
+    ke = element_stiffness_matrices(coords, tris, e, nu, t)
+    bands, rem_vals = assemble_hybrid(
+        ke, slot_ids, n, len(offsets), rem_idx.shape[1]
+    )
+
+    def matvec_t(v):
+        return hybrid_matvec(bands, offsets, rem_vals, rem_rows, rem_cols, v)
+
+    def op(v):
+        return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
+
+    diag_t = bands[offsets.index(0)]
+    if spec.preconditioner == "none":
+        precond = identity_preconditioner()
+    else:
+        precond = block_jacobi_inverse_t(diag_t, free_t)
+    b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
+    result = pcg(
+        op,
+        b,
+        preconditioner=precond,
+        x0=u_fixed_t,
+        rtol=spec.rtol,
+        atol=spec.atol,
+        maxiter=spec.maxiter,
+    )
+    return (
+        result.x.T,
+        matvec_t(result.x).T,
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+    )
+
+
+def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t):
+    from .dia import (
+        assemble_dia,
+        block_jacobi_inverse_t,
+        dia_diag_blocks,
+        make_dia_operator,
+    )
+
+    offsets = spec.params.offsets
+    n = coords.shape[0]
+    free_t = (~u_known).astype(coords.dtype).T
+    u_fixed_t = u_value.T
+    f_t = f_value.T
+
+    ke = element_stiffness_matrices(coords, tris, e, nu, t)
+    bands = assemble_dia(ke, slot_ids, n, len(offsets))
+    matvec_t = make_dia_operator(bands, offsets)
+
+    def op(v):
+        return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
+
+    diag_t = dia_diag_blocks(bands, offsets)
+    if spec.preconditioner == "none":
+        precond = identity_preconditioner()
+    else:
+        precond = block_jacobi_inverse_t(diag_t, free_t)
+    b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
+    result = pcg(
+        op,
+        b,
+        preconditioner=precond,
+        x0=u_fixed_t,
+        rtol=spec.rtol,
+        atol=spec.atol,
+        maxiter=spec.maxiter,
+    )
+    return (
+        result.x.T,
+        matvec_t(result.x).T,
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+    )
+
+
+def _solve_dense(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, nu, t):
+    n = coords.shape[0]
+    free = (~u_known).astype(coords.dtype)
+    ke = element_stiffness_matrices(coords, tris, e, nu, t)
+    kmat = assemble_dense(ke, tris, n)
+    free_f = free.reshape(-1)
+    a = kmat * (free_f[:, None] * free_f[None, :]) + jnp.diag(1.0 - free_f)
+    b = free_f * (f_value.reshape(-1) - kmat @ (u_value.reshape(-1))) + (
+        1.0 - free_f
+    ) * u_value.reshape(-1)
+    u_flat = jnp.linalg.solve(a, b)
+    u = u_flat.reshape(-1, 2)
+    ku = (kmat @ u_flat).reshape(-1, 2)
+    resnorm = jnp.linalg.norm(free * (f_value - ku))
+    return u, ku, jnp.int32(0), resnorm, jnp.bool_(True)
+
+
+def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t):
+    n = coords.shape[0]
+    width = cols.shape[1]
+    free = (~u_known).astype(coords.dtype)
+    ke = element_stiffness_matrices(coords, tris, e, nu, t)
+    ell = assemble_ell_arrays(ke, slot_ids, n, width)
+    matvec = make_ell_operator(ell, cols)
+    op = make_constrained_operator(matvec, free)
+    diag_blocks = extract_block_diagonal(ell, cols)
+    precond = _make_preconditioner(spec.preconditioner, diag_blocks, free)
+    b = reduced_rhs(matvec, free, u_value, f_value)
+    result = pcg(
+        op,
+        b,
+        preconditioner=precond,
+        x0=u_value,  # satisfies the fixed DOFs exactly
+        rtol=spec.rtol,
+        atol=spec.atol,
+        maxiter=spec.maxiter,
+    )
+    return (
+        result.x,
+        matvec(result.x),
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+    )
+
+
+@lru_cache(maxsize=32)
+def _jitted_core(spec: CoreSpec):
+    """Build + cache the jitted solve core for one CoreSpec."""
 
     def core(coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t):
-        free = (~u_known).astype(coords.dtype)  # [N,2]
-        ke = element_stiffness_matrices(coords, tris, e, nu, t)
-
-        if mode == "stencil":
-            from .multigrid import build_hierarchy, vcycle_preconditioner
-            from .stencil import (
-                assemble_stencil,
-                make_stencil_operator,
-                shift2d,
-                OFFSETS,
-                CENTER,
+        if spec.mode == "stencil":
+            u, ku, iters, resnorm, converged = _solve_stencil(
+                spec, coords, tris, u_known, u_value, f_value, e, nu, t
             )
-
-            rows, cols_n, wrap = dia_offsets  # repurposed static params
-            grid = lambda a: a.T.reshape(2, rows, cols_n)
-            free_g = grid(free)
-            raw = assemble_stencil(ke, slot_ids, rows, cols_n)
-            # fold BC reduction into the stencil: identity on fixed DOFs
-            reduced = []
-            for s, (dr, dt) in enumerate(OFFSETS):
-                fin = shift2d(free_g, dr, dt, wrap)
-                blk = raw[s] * free_g[:, None] * fin[None, :]
-                if s == CENTER:
-                    blk = blk.at[0, 0].add(1.0 - free_g[0])
-                    blk = blk.at[1, 1].add(1.0 - free_g[1])
-                reduced.append(blk)
-            reduced = jnp.stack(reduced)
-            op = make_stencil_operator(reduced, wrap)
-
-            u_fixed_g = grid(u_value)
-            f_g = grid(f_value)
-            # reduced RHS: fixed DOFs contribute through the RAW operator
-            raw_op = make_stencil_operator(raw, wrap)
-            b = free_g * (f_g - raw_op((1.0 - free_g) * u_fixed_g)) + (
-                1.0 - free_g
-            ) * u_fixed_g
-
-            if preconditioner == "multigrid":
-                levels = build_hierarchy(reduced, free_g, wrap)
-                precond = vcycle_preconditioner(levels, wrap)
-            elif preconditioner == "none":
-                precond = identity_preconditioner()
-            else:
-                from .dia import block_jacobi_inverse_t
-
-                # center blocks of the reduced stencil are the diagonal
-                d = reduced[CENTER]
-                a_, b_ = d[0, 0], d[0, 1]
-                c_, e_ = d[1, 0], d[1, 1]
-                det = a_ * e_ - b_ * c_
-                det = jnp.where(det == 0, 1.0, det)
-                inv = (
-                    jnp.stack(
-                        [jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]
-                    )
-                    / det
-                )
-
-                def precond(r):
-                    return jnp.einsum("ijrc,jrc->irc", inv, r)
-
-            result = pcg(
-                op,
-                b,
-                preconditioner=precond,
-                x0=u_fixed_g,
-                rtol=rtol,
-                atol=atol,
-                maxiter=maxiter,
+        elif spec.mode == "hybrid":
+            u, ku, iters, resnorm, converged = _solve_hybrid(
+                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t
             )
-            u = result.x.reshape(2, -1).T  # [N,2]
-            ku = raw_op(result.x).reshape(2, -1).T
-            iters = result.iterations
-            resnorm = result.residual_norm
-            converged = result.converged
-        elif mode == "hybrid":
-            from .dia import (
-                assemble_hybrid,
-                block_jacobi_inverse_t,
-                hybrid_matvec,
+        elif spec.mode == "dia":
+            u, ku, iters, resnorm, converged = _solve_dia(
+                spec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t
             )
-
-            n = coords.shape[0]
-            n_rem = cols.shape[1]
-            rem_rows, rem_cols = cols[0], cols[1]
-            bands, rem_vals = assemble_hybrid(
-                ke, slot_ids, n, len(dia_offsets), n_rem
+        elif spec.mode == "dense":
+            u, ku, iters, resnorm, converged = _solve_dense(
+                spec, coords, tris, u_known, u_value, f_value, e, nu, t
             )
-
-            def matvec_t(v):
-                return hybrid_matvec(
-                    bands, dia_offsets, rem_vals, rem_rows, rem_cols, v
-                )
-
-            free_t = free.T
-            u_fixed_t = u_value.T
-            f_t = f_value.T
-
-            def op(v):
-                return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
-
-            zero_idx = dia_offsets.index(0)
-            diag_t = bands[zero_idx]
-            if preconditioner == "none":
-                precond = identity_preconditioner()
-            else:
-                precond = block_jacobi_inverse_t(diag_t, free_t)
-            b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
-            result = pcg(
-                op,
-                b,
-                preconditioner=precond,
-                x0=u_fixed_t,
-                rtol=rtol,
-                atol=atol,
-                maxiter=maxiter,
-            )
-            u = result.x.T
-            ku = matvec_t(result.x).T
-            iters = result.iterations
-            resnorm = result.residual_norm
-            converged = result.converged
-        elif mode == "dia":
-            from .dia import (
-                assemble_dia,
-                block_jacobi_inverse_t,
-                dia_diag_blocks,
-                make_dia_operator,
-            )
-
-            n = coords.shape[0]
-            bands = assemble_dia(ke, slot_ids, n, len(dia_offsets))
-            matvec_t = make_dia_operator(bands, dia_offsets)
-            free_t = free.T  # [2, N] transposed layout, N minormost
-            u_fixed_t = u_value.T
-            f_t = f_value.T
-
-            def op(v):
-                return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
-
-            diag_t = dia_diag_blocks(bands, dia_offsets)
-            if preconditioner == "none":
-                precond = identity_preconditioner()
-            else:
-                precond = block_jacobi_inverse_t(diag_t, free_t)
-            b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
-            result = pcg(
-                op,
-                b,
-                preconditioner=precond,
-                x0=u_fixed_t,
-                rtol=rtol,
-                atol=atol,
-                maxiter=maxiter,
-            )
-            u = result.x.T
-            ku = matvec_t(result.x).T
-            iters = result.iterations
-            resnorm = result.residual_norm
-            converged = result.converged
-        elif dense:
-            n = coords.shape[0]
-            kmat = assemble_dense(ke, tris, n)
-            free_f = free.reshape(-1)
-            a = (
-                kmat * (free_f[:, None] * free_f[None, :])
-                + jnp.diag(1.0 - free_f)
-            )
-            b = free_f * (
-                f_value.reshape(-1) - kmat @ (u_value.reshape(-1))
-            ) + (1.0 - free_f) * u_value.reshape(-1)
-            u_flat = jnp.linalg.solve(a, b)
-            u = u_flat.reshape(-1, 2)
-            ku = (kmat @ u_flat).reshape(-1, 2)
-            iters = jnp.int32(0)
-            resnorm = jnp.linalg.norm(free * (f_value - ku))
-            converged = jnp.bool_(True)
         else:
-            n = coords.shape[0]
-            width = cols.shape[1]
-            ell = assemble_ell_arrays(ke, slot_ids, n, width)
-            matvec = make_ell_operator(ell, cols)
-            op = make_constrained_operator(matvec, free)
-            diag_blocks = extract_block_diagonal(ell, cols)
-            precond = _make_preconditioner(preconditioner, diag_blocks, free)
-            b = reduced_rhs(matvec, free, u_value, f_value)
-            x0 = u_value  # satisfies the fixed DOFs exactly
-            result = pcg(
-                op,
-                b,
-                preconditioner=precond,
-                x0=x0,
-                rtol=rtol,
-                atol=atol,
-                maxiter=maxiter,
+            u, ku, iters, resnorm, converged = _solve_ell(
+                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t
             )
-            u = result.x
-            ku = matvec(u)
-            iters = result.iterations
-            resnorm = result.residual_norm
-            converged = result.converged
 
         # Force recovery: unknown forces are K u rows (reference
         # src/solver.rs:457-469); known applied forces pass through.
         f = jnp.where(u_known, ku, f_value)
         sigma = element_stress_tensors(coords, tris, u, e, nu)
-        stress = scalar_stress(sigma, sign_threshold=stress_sign_threshold)
+        stress = scalar_stress(sigma, sign_threshold=spec.stress_sign_threshold)
         vm = von_mises_stress(sigma)
         return u, f, sigma, stress, vm, iters, resnorm, converged
 
@@ -341,6 +447,8 @@ class CompiledProblem:
     mode: str
     preconditioner: str
     timings: dict
+    refine: bool = False
+    debug_nans: bool = False
 
     def solve_device(self):
         return self.core(*self.args)
@@ -354,15 +462,26 @@ class CompiledProblem:
         )
         timings["solve_s"] = time.perf_counter() - t0
 
+        u, f, sigma = np.asarray(u), np.asarray(f), np.asarray(sigma)
+        # NaN check first: a NaN residual also reads as "not converged", but
+        # the sanitizer message is the actionable one
+        if self.debug_nans:
+            for name, arr in (("displacements", u), ("forces", f), ("stresses", sigma)):
+                if not np.isfinite(arr).all():
+                    raise SolverError(
+                        f"non-finite values in solved {name} "
+                        "(debug_nans): check material properties, mesh "
+                        "quality, and boundary conditions"
+                    )
         if not bool(converged):
             raise SolverError(
                 f"conjugate gradient failed to converge in {int(iters)} "
                 f"iterations (residual norm {float(resnorm):.3e})"
             )
         return SolveResult(
-            u=np.asarray(u),
-            f=np.asarray(f),
-            sigma=np.asarray(sigma),
+            u=u,
+            f=f,
+            sigma=sigma,
             stress=np.asarray(stress),
             von_mises=np.asarray(vm),
             iterations=int(iters),
@@ -370,6 +489,10 @@ class CompiledProblem:
             converged=True,
             timings=timings,
         )
+
+
+def _f32_rtol_floor() -> float:
+    return 50 * float(np.finfo(np.float32).eps)
 
 
 def compile_problem(
@@ -391,7 +514,7 @@ def compile_problem(
 
     t0 = time.perf_counter()
     mode = "dense" if n <= options.dense_cutoff else None
-    dia_offsets: tuple = ()
+    params = None
     cols = np.zeros((1, 1), dtype=np.int32)
     slot_ids = np.zeros(1, dtype=np.int32)
     if (
@@ -399,14 +522,25 @@ def compile_problem(
         and options.operator in ("auto", "stencil")
         and mesh.grid_shape is not None
     ):
-        from .stencil import build_stencil_structure
-
         rows_g, cols_g = mesh.grid_shape
-        st = build_stencil_structure(mesh.tris, rows_g, cols_g, mesh.wrap_cols)
-        if st is not None:
+        ok = mesh.grid_local
+        if not ok:
+            # untrusted producer: host scan verifies every coupling is
+            # grid-local before committing to the stencil operator
+            from .stencil import build_stencil_structure
+
+            ok = (
+                build_stencil_structure(
+                    mesh.tris, rows_g, cols_g, mesh.wrap_cols
+                )
+                is not None
+            )
+        if ok:
+            # scatter pattern is built on device from tris; nothing uploaded
             mode = "stencil"
-            slot_ids = st.slot_ids
-            dia_offsets = (rows_g, cols_g, mesh.wrap_cols)
+            params = StencilParams(
+                rows_g, cols_g, mesh.wrap_cols, mesh.canonical_grid
+            )
         elif options.operator == "stencil":
             raise SolverError(
                 "mesh connectivity is not grid-local; stencil operator "
@@ -419,7 +553,7 @@ def compile_problem(
         if dia is not None:
             mode = "dia"
             slot_ids = dia.slot_ids
-            dia_offsets = tuple(int(o) for o in dia.offsets)
+            params = DiaParams(tuple(int(o) for o in dia.offsets))
         elif options.operator == "dia":
             raise SolverError(
                 f"mesh needs more than {options.max_diags} diagonal bands; "
@@ -431,7 +565,7 @@ def compile_problem(
         hyb = build_hybrid_structure(mesh.tris, n, max_diags=options.max_diags)
         mode = "hybrid"
         slot_ids = hyb.slot_ids
-        dia_offsets = tuple(int(o) for o in hyb.offsets)
+        params = HybridParams(tuple(int(o) for o in hyb.offsets))
         cols = np.stack([hyb.rem_rows, hyb.rem_cols]).astype(np.int32)
         if cols.shape[1] == 0:  # fully banded after all
             cols = np.zeros((2, 1), dtype=np.int32)
@@ -444,21 +578,38 @@ def compile_problem(
     timings["structure_s"] = time.perf_counter() - t0
     timings["operator"] = mode
 
-    # f32 cannot reach f64-grade residuals; clamp the tolerance to what the
-    # working precision supports (~50x machine epsilon).
+    # Tolerance vs working precision: f32 cannot reach f64-grade residuals.
+    # With x64 available and a stencil operator, mixed-precision iterative
+    # refinement (f64 residual + f32 inner solves) reaches the requested
+    # tolerance anyway; otherwise the tolerance is clamped to ~50 eps.
     rtol = float(options.cg_rtol)
-    if dtype == np.float32:
-        rtol = max(rtol, 50 * float(np.finfo(np.float32).eps))
+    refine = False
+    x64 = bool(jax.config.jax_enable_x64)
+    if mode == "stencil" and options.refine == "on":
+        if not x64:
+            raise SolverError(
+                "refine='on' requires jax_enable_x64 (f64 residuals)"
+            )
+        refine = True
+    elif (
+        mode == "stencil"
+        and options.refine == "auto"
+        and x64
+        and dtype == np.float32
+        and rtol < _f32_rtol_floor()
+    ):
+        refine = True
+    if not refine and dtype == np.float32:
+        rtol = max(rtol, _f32_rtol_floor())
 
     preconditioner = options.preconditioner
     if preconditioner == "auto":
         if mode == "stencil":
-            rows_g, cols_g, wrap_g = dia_offsets
             from .multigrid import can_coarsen
 
             preconditioner = (
                 "multigrid"
-                if can_coarsen(rows_g, cols_g, wrap_g)
+                if can_coarsen(params.rows, params.cols, params.wrap)
                 else "block_jacobi"
             )
         else:
@@ -470,28 +621,35 @@ def compile_problem(
         )
     timings["preconditioner"] = preconditioner
 
-    core = _jitted_core(
-        preconditioner,
-        rtol,
-        float(options.cg_atol),
-        int(options.max_cg_iters),
-        float(options.stress_sign_threshold),
-        mode,
-        dia_offsets,
+    spec = CoreSpec(
+        mode=mode,
+        params=params,
+        preconditioner=preconditioner,
+        rtol=rtol,
+        atol=float(options.cg_atol),
+        maxiter=int(options.max_cg_iters),
+        stress_sign_threshold=float(options.stress_sign_threshold),
+        refine=refine,
+        refine_inner_iters=int(options.refine_inner_iters),
+        refine_max_outer=int(options.refine_max_outer),
     )
+    core = _jitted_core(spec)
+
+    # refinement computes the operator + residual in f64, inner solves f32
+    upload_dtype = np.dtype(np.float64) if refine else dtype
 
     t0 = time.perf_counter()
     args = (
-        jnp.asarray(mesh.coords, dtype=dtype),
+        jnp.asarray(mesh.coords, dtype=upload_dtype),
         jnp.asarray(mesh.tris, dtype=jnp.int32),
         jnp.asarray(cols),
         jnp.asarray(slot_ids),
         jnp.asarray(bca.u_known),
-        jnp.asarray(bca.u_value, dtype=dtype),
-        jnp.asarray(bca.f_value, dtype=dtype),
-        dtype.type(metadata.youngs_modulus),
-        dtype.type(metadata.poisson_ratio),
-        dtype.type(metadata.part_thickness),
+        jnp.asarray(bca.u_value, dtype=upload_dtype),
+        jnp.asarray(bca.f_value, dtype=upload_dtype),
+        upload_dtype.type(metadata.youngs_modulus),
+        upload_dtype.type(metadata.poisson_ratio),
+        upload_dtype.type(metadata.part_thickness),
     )
     jax.block_until_ready(args[:7])
     timings["upload_s"] = time.perf_counter() - t0
@@ -502,6 +660,6 @@ def compile_problem(
         mode=mode,
         preconditioner=preconditioner,
         timings=timings,
+        refine=refine,
+        debug_nans=bool(options.debug_nans),
     )
-
-

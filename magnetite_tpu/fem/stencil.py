@@ -63,6 +63,28 @@ def build_stencil_structure(
     )
 
 
+def stencil_slot_ids_device(
+    tris: jax.Array, rows: int, cols: int, wrap_cols: bool
+) -> jax.Array:
+    """Scatter pattern computed ON DEVICE from connectivity (int32, [E*9]).
+
+    Closed form of `build_stencil_structure`'s slot_ids without the host
+    locality check -- for meshes flagged `grid_local` by their producer.
+    At 1M elements this replaces a 75 MB host->device slot_ids upload with
+    a few int ops on the already-resident tris array.
+    """
+    tris = tris.astype(jnp.int32)
+    a = jnp.repeat(tris, 3, axis=1).reshape(-1)  # row node of each pair
+    b = jnp.tile(tris, (1, 3)).reshape(-1)  # col node
+    dr = b // cols - a // cols
+    dt = b % cols - a % cols
+    if wrap_cols:
+        dt = jnp.where(dt > cols // 2, dt - cols, dt)
+        dt = jnp.where(dt < -(cols // 2), dt + cols, dt)
+    s_idx = (dr + 1) * 3 + (dt + 1)
+    return s_idx * (rows * cols) + a
+
+
 def assemble_stencil(
     ke: jax.Array, slot_ids, rows: int, cols: int
 ) -> jax.Array:
@@ -74,6 +96,163 @@ def assemble_stencil(
         blocks, jnp.asarray(slot_ids), num_segments=9 * rows * cols
     )  # [9*R*C, 2, 2]
     return flat.reshape(9, rows, cols, 2, 2).transpose(0, 3, 4, 1, 2)
+
+
+def assemble_stencil_fused(
+    coords: jax.Array,
+    tris: jax.Array,
+    e_mod,
+    nu,
+    thickness,
+    rows: int,
+    cols: int,
+    wrap_cols: bool,
+) -> jax.Array:
+    """Element stiffness + scatter in one pass -> stencil [9,2,2,R,C].
+
+    Never materializes the [E,6,6] stiffness tensor. The CST block for node
+    pair (a, b) has the closed form (reference math: src/solver.rs:204-278,
+    under-the-hood.md:541-606)
+
+        k_ab = t/(4A) * [[d0*ba*bb + d2*ga*gb,  d1*ba*gb + d2*ga*bb],
+                         [d1*ga*bb + d2*ba*gb,  d0*ga*gb + d2*ba*bb]]
+
+    with ba = y_{a+1}-y_{a+2}, ga = x_{a+2}-x_{a+1} and d0 = E/(1-nu^2),
+    d1 = nu*d0, d2 = (1-nu)/2*d0. Each of the four components is a scalar
+    field over pairs, laid out [3, 3, E] with E minormost -- every buffer in
+    the chain is TPU-tileable, which keeps the f64 path compilable at 1M+
+    elements (the [E,6,6] form tile-pads 6x6 blocks to 8x128 and explodes
+    to tens of GB under f64 emulation).
+    """
+    tris = tris.astype(jnp.int32)
+    at = tris.T  # [3, E]
+    p = coords[at]  # [3, E, 2]
+    x, y = p[..., 0], p[..., 1]  # [3, E]
+    beta = jnp.stack([y[1] - y[2], y[2] - y[0], y[0] - y[1]])  # [3, E]
+    gamma = jnp.stack([x[2] - x[1], x[0] - x[2], x[1] - x[0]])
+    area2 = (
+        x[0] * (y[1] - y[2]) + x[1] * (y[2] - y[0]) + x[2] * (y[0] - y[1])
+    )  # 2A, [E]
+    coef = thickness / (2.0 * area2)  # t / (4A)
+    d0 = e_mod / (1.0 - nu * nu)
+    d1 = nu * d0
+    d2 = 0.5 * (1.0 - nu) * d0
+
+    ba, bb = beta[:, None, :], beta[None, :, :]  # [3,3,E] (a-major)
+    ga, gb = gamma[:, None, :], gamma[None, :, :]
+    k00 = coef * (d0 * ba * bb + d2 * ga * gb)
+    k01 = coef * (d1 * ba * gb + d2 * ga * bb)
+    k10 = coef * (d1 * ga * bb + d2 * ba * gb)
+    k11 = coef * (d0 * ga * gb + d2 * ba * bb)
+
+    # pair-major scatter pattern [3,3,E] matching the value layout
+    a3, b3 = at[:, None, :], at[None, :, :]
+    dr = b3 // cols - a3 // cols
+    dt = b3 % cols - a3 % cols
+    if wrap_cols:
+        dt = jnp.where(dt > cols // 2, dt - cols, dt)
+        dt = jnp.where(dt < -(cols // 2), dt + cols, dt)
+    slot = ((dr + 1) * 3 + (dt + 1)) * (rows * cols) + a3  # [3,3,E]
+    slot = slot.reshape(-1)
+
+    def scatter(k):
+        return jax.ops.segment_sum(
+            k.reshape(-1), slot, num_segments=9 * rows * cols
+        ).reshape(9, rows, cols)
+
+    s00, s01, s10, s11 = scatter(k00), scatter(k01), scatter(k10), scatter(k11)
+    return jnp.stack(
+        [jnp.stack([s00, s01], axis=1), jnp.stack([s10, s11], axis=1)], axis=1
+    )
+
+
+# canonical cell split shared by the mesh generators: every grid cell
+# (r, t) -> two triangles along the (r,t)-(r+1,t+1) diagonal
+_CELL_TRIS = (
+    ((0, 0), (0, 1), (1, 1)),
+    ((0, 0), (1, 0), (1, 1)),
+)
+
+
+def assemble_stencil_structured(
+    coords: jax.Array,  # [R*C, 2]
+    e_mod,
+    nu,
+    thickness,
+    rows: int,
+    cols: int,
+    wrap_cols: bool,
+) -> jax.Array:
+    """Scatter-free assembly for canonical generator grids -> [9,2,2,R,C].
+
+    Connectivity is implied by the grid (two triangles per cell along the
+    (r,t)-(r+1,t+1) diagonal, the convention of meshing.generators), so the
+    segment_sum scatter disappears entirely: each of the 2 triangle types
+    x 9 node pairs contributes one shifted add of a per-cell value grid into
+    the stencil band -- pure rolls/pads/FMAs, which is what makes the f64
+    operator path fast on TPU (the general f64 scatter is ~13x slower).
+
+    Orientation-independent: uses |2A|, and the beta/gamma products are
+    invariant under vertex-order reversal, so the generators' per-element
+    CCW fixes don't need to be replayed here.
+    """
+    xg = coords[:, 0].reshape(rows, cols)
+    yg = coords[:, 1].reshape(rows, cols)
+    ct = cols if wrap_cols else cols - 1  # cells per row
+
+    def node_grid(g, dr, dt):
+        """Value of g at (cell_r + dr, cell_t + dt), on the cell grid."""
+        v = g[dr : dr + rows - 1, :]
+        if wrap_cols:
+            return jnp.roll(v, -dt, axis=1) if dt else v
+        return v[:, dt : dt + ct]
+
+    d0 = e_mod / (1.0 - nu * nu)
+    d1 = nu * d0
+    d2 = 0.5 * (1.0 - nu) * d0
+
+    stencil = jnp.zeros((9, 2, 2, rows, cols), dtype=coords.dtype)
+    for tri in _CELL_TRIS:
+        x = [node_grid(xg, dr, dt) for dr, dt in tri]  # 3 x [R-1, ct]
+        y = [node_grid(yg, dr, dt) for dr, dt in tri]
+        beta = [y[1] - y[2], y[2] - y[0], y[0] - y[1]]
+        gamma = [x[2] - x[1], x[0] - x[2], x[1] - x[0]]
+        area2 = (
+            x[0] * (y[1] - y[2]) + x[1] * (y[2] - y[0]) + x[2] * (y[0] - y[1])
+        )
+        coef = thickness / (2.0 * jnp.abs(area2))  # t / (4|A|)
+
+        for a in range(3):
+            ra, ta = tri[a]
+            for b in range(3):
+                ba_, bb_ = beta[a], beta[b]
+                ga_, gb_ = gamma[a], gamma[b]
+                k00 = coef * (d0 * ba_ * bb_ + d2 * ga_ * gb_)
+                k01 = coef * (d1 * ba_ * gb_ + d2 * ga_ * bb_)
+                k10 = coef * (d1 * ga_ * bb_ + d2 * ba_ * gb_)
+                k11 = coef * (d0 * ga_ * gb_ + d2 * ba_ * bb_)
+                kblk = jnp.stack(
+                    [jnp.stack([k00, k01]), jnp.stack([k10, k11])]
+                )  # [2, 2, R-1, ct]
+
+                # destination: band (db - da), node (cell + da)
+                dr_s = tri[b][0] - ra
+                dt_s = tri[b][1] - ta
+                s = (dr_s + 1) * 3 + (dt_s + 1)
+                # place the cell grid at node rows [ra, ra+R-1)
+                kblk = jnp.pad(
+                    kblk,
+                    ((0, 0), (0, 0), (ra, rows - (rows - 1) - ra), (0, 0)),
+                )
+                if wrap_cols:
+                    if ta:
+                        kblk = jnp.roll(kblk, ta, axis=-1)
+                else:
+                    kblk = jnp.pad(
+                        kblk, ((0, 0), (0, 0), (0, 0), (ta, cols - ct - ta))
+                    )
+                stencil = stencil.at[s].add(kblk)
+    return stencil
 
 
 def shift2d(u: jax.Array, dr: int, dt: int, wrap_cols: bool) -> jax.Array:

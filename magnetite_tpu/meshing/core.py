@@ -31,6 +31,14 @@ class Mesh:
     tris: np.ndarray
     grid_shape: Optional[tuple[int, int]] = None
     wrap_cols: bool = False
+    # True when the producer guarantees every coupling is between grid
+    # neighbors ((dr, dt) in {-1,0,1}^2) -- lets the solver skip the host
+    # grid-locality scan and build the stencil scatter pattern on device.
+    grid_local: bool = False
+    # True when connectivity is exactly the canonical cell split (two
+    # triangles per cell along the (r,t)-(r+1,t+1) diagonal, as produced by
+    # meshing.generators) -- unlocks scatter-free structured assembly.
+    canonical_grid: bool = False
 
     @property
     def num_nodes(self) -> int:
@@ -82,4 +90,6 @@ def normalize_orientation(mesh: Mesh, threshold: float = 0.0) -> Mesh:
         tris=tris,
         grid_shape=mesh.grid_shape,
         wrap_cols=mesh.wrap_cols,
+        grid_local=mesh.grid_local,
+        canonical_grid=mesh.canonical_grid,
     )

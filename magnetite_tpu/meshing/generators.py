@@ -46,6 +46,8 @@ def rect_mesh(
         tris=tris,
         grid_shape=(ny + 1, nx + 1),
         wrap_cols=False,
+        grid_local=True,
+        canonical_grid=True,
     )
     mesh.validate()
     return mesh
@@ -96,6 +98,8 @@ def plate_with_hole_mesh(
         tris=tris,
         grid_shape=(n_radial + 1, n_tangential),
         wrap_cols=True,
+        grid_local=True,
+        canonical_grid=True,
     )
     mesh = normalize_orientation(mesh)
     mesh.validate()

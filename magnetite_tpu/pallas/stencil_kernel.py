@@ -141,13 +141,21 @@ def _matvec_tiled(
         in_specs=[
             pl.BlockSpec(
                 (1, 9, 2, 2, tr, cols),
-                lambda i: (i, 0, 0, 0, 0, 0),
+                # i*0 keeps every index i32-typed: literal 0s lower to i64
+                # under jax_enable_x64, which Mosaic rejects
+                lambda i: (i, i * 0, i * 0, i * 0, i * 0, i * 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # whole padded u
+            # whole padded u, resident across grid steps; the explicit
+            # index map keeps its block indices i32 under x64 too
+            pl.BlockSpec(
+                (2, rows_pad + 16, cols),
+                lambda i: (i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
-            (2, tr, cols), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (2, tr, cols), lambda i: (i * 0, i, i * 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
     )(stencil_tiled, u_pad)

@@ -1,0 +1,273 @@
+"""Row-sharded stencil PCG over a device mesh: halo exchange, not gather.
+
+The ELL multi-chip path (parallel/sharding.py) all_gathers the displacement
+vector and gathers through column indices -- correct, but the gather
+formulation runs ~5 GB/s on TPU (fem/dia.py docstring). Structured-grid
+problems shard the [2, R, C] fields by ROWS instead: each chip owns a
+contiguous row band of the grid plus the stencil rows that act on it, and
+one 9-point matvec needs exactly ONE row of halo from each neighbor:
+
+    per iteration: 2 x jax.lax.ppermute of a [2, 1, C] row  (+ psum scalars)
+
+i.e. 8*C bytes over ICI per step vs the 8*R*C all_gather -- communication
+shrinks by the shard count, and the local compute is the same roll/FMA
+stencil kernel that runs at HBM roofline on one chip.
+
+Grid rows are never periodic (wrap is in columns, unsharded), so shard 0 /
+shard n-1 receive zeros from the missing neighbor -- exactly the zero
+padding semantics of the single-device operator (fem/stencil.py shift2d).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..bc import BCArrays
+from ..config import ModelMetadata
+from ..errors import SolverError
+from ..fem.cg import CGResult, pcg
+from ..fem.stencil import OFFSETS, CENTER
+from ..meshing.core import Mesh as FemMesh
+
+
+@dataclass
+class ShardedStencilProblem:
+    """Device-ready row-sharded structured-grid FEA system.
+
+    All grid arrays are padded to rows divisible by the shard count; pad
+    rows carry identity stencil rows (free=0) so the operator stays SPD.
+    """
+
+    device_mesh: Mesh
+    axis: str
+    reduced: jax.Array  # [9, 2, 2, Rp, C] BC-reduced stencil, row-sharded
+    raw: jax.Array  # [9, 2, 2, Rp, C] unreduced (force recovery)
+    free_g: jax.Array  # [2, Rp, C]
+    u_fixed_g: jax.Array  # [2, Rp, C]
+    f_g: jax.Array  # [2, Rp, C]
+    diag_inv: jax.Array  # [2, 2, Rp, C] inverse reduced center blocks
+    rows: int  # un-padded row count
+    cols: int
+    wrap_cols: bool
+
+
+def _pad_grid_rows(a: np.ndarray, rows_pad: int, row_axis: int) -> np.ndarray:
+    pad = [(0, 0)] * a.ndim
+    pad[row_axis] = (0, rows_pad - a.shape[row_axis])
+    return np.pad(a, pad)
+
+
+def prepare_sharded_stencil_problem(
+    fem_mesh: FemMesh,
+    bca: BCArrays,
+    metadata: ModelMetadata,
+    device_mesh: Mesh,
+    axis: str = "rows",
+    dtype=np.float32,
+) -> ShardedStencilProblem:
+    """Assemble the BC-reduced stencil and lay it out row-sharded."""
+    if fem_mesh.grid_shape is None:
+        raise SolverError("sharded stencil solve needs a structured grid mesh")
+    rows, cols = fem_mesh.grid_shape
+    wrap = fem_mesh.wrap_cols
+    n_shards = device_mesh.shape[axis]
+    rows_pad = math.ceil(rows / n_shards) * n_shards
+
+    # assemble + reduce on host-driven single jit (replicated inputs),
+    # then lay out row-sharded; assembly is one-time, the solve loop is
+    # what must be communication-minimal
+    from ..fem.solve import _grid, _reduce_stencil
+    from ..fem.stencil import (
+        assemble_stencil_fused,
+        assemble_stencil_structured,
+    )
+
+    coords = jnp.asarray(fem_mesh.coords, dtype=dtype)
+    free_g = _grid(jnp.asarray(~bca.u_known, dtype=dtype), rows, cols)
+    u_fixed_g = _grid(jnp.asarray(bca.u_value, dtype=dtype), rows, cols)
+    f_g = _grid(jnp.asarray(bca.f_value, dtype=dtype), rows, cols)
+
+    @jax.jit
+    def build(coords, tris, free_g):
+        if fem_mesh.canonical_grid:
+            raw = assemble_stencil_structured(
+                coords,
+                metadata.youngs_modulus,
+                metadata.poisson_ratio,
+                metadata.part_thickness,
+                rows,
+                cols,
+                wrap,
+            )
+        else:
+            raw = assemble_stencil_fused(
+                coords,
+                tris,
+                metadata.youngs_modulus,
+                metadata.poisson_ratio,
+                metadata.part_thickness,
+                rows,
+                cols,
+                wrap,
+            )
+        reduced = _reduce_stencil(raw, free_g, wrap)
+        d = reduced[CENTER]
+        a_, b_ = d[0, 0], d[0, 1]
+        c_, e_ = d[1, 0], d[1, 1]
+        det = a_ * e_ - b_ * c_
+        det = jnp.where(det == 0, 1.0, det)
+        diag_inv = (
+            jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
+        )
+        return raw, reduced, diag_inv
+
+    raw, reduced, diag_inv = build(
+        coords, jnp.asarray(fem_mesh.tris, dtype=jnp.int32), free_g
+    )
+
+    # pad rows; pad stencil rows are identity (free=0 semantics)
+    pad = rows_pad - rows
+    raw_np = _pad_grid_rows(np.asarray(raw), rows_pad, 3)
+    red_np = _pad_grid_rows(np.asarray(reduced), rows_pad, 3)
+    dinv_np = _pad_grid_rows(np.asarray(diag_inv), rows_pad, 2)
+    if pad:
+        red_np[CENTER, 0, 0, rows:, :] = 1.0
+        red_np[CENTER, 1, 1, rows:, :] = 1.0
+        dinv_np[0, 0, rows:, :] = 1.0
+        dinv_np[1, 1, rows:, :] = 1.0
+
+    shard5 = NamedSharding(device_mesh, P(None, None, None, axis, None))
+    shard4 = NamedSharding(device_mesh, P(None, None, axis, None))
+    shard3 = NamedSharding(device_mesh, P(None, axis, None))
+
+    return ShardedStencilProblem(
+        device_mesh=device_mesh,
+        axis=axis,
+        reduced=jax.device_put(red_np.astype(dtype), shard5),
+        raw=jax.device_put(raw_np.astype(dtype), shard5),
+        free_g=jax.device_put(
+            _pad_grid_rows(np.asarray(free_g), rows_pad, 1), shard3
+        ),
+        u_fixed_g=jax.device_put(
+            _pad_grid_rows(np.asarray(u_fixed_g), rows_pad, 1), shard3
+        ),
+        f_g=jax.device_put(_pad_grid_rows(np.asarray(f_g), rows_pad, 1), shard3),
+        diag_inv=jax.device_put(dinv_np.astype(dtype), shard4),
+        rows=rows,
+        cols=cols,
+        wrap_cols=wrap,
+    )
+
+
+def halo_stencil_matvec(
+    st_local: jax.Array,  # [9, 2, 2, Rl, C]
+    u_local: jax.Array,  # [2, Rl, C]
+    axis: str,
+    wrap_cols: bool,
+) -> jax.Array:
+    """y = K u per shard: 2 single-row ppermutes + local rolls/FMAs."""
+    n = jax.lax.axis_size(axis)
+    rl, cols = u_local.shape[-2], u_local.shape[-1]
+
+    # halo rows: shard i's extended field needs the last row of shard i-1
+    # above and the first row of shard i+1 below; edge shards get zeros
+    from_above = jax.lax.ppermute(
+        u_local[:, -1:, :], axis, [(j, j + 1) for j in range(n - 1)]
+    )
+    from_below = jax.lax.ppermute(
+        u_local[:, :1, :], axis, [(j + 1, j) for j in range(n - 1)]
+    )
+    u_ext = jnp.concatenate([from_above, u_local, from_below], axis=1)
+
+    y = jnp.zeros_like(u_local)
+    for s, (dr, dt) in enumerate(OFFSETS):
+        us = jax.lax.slice_in_dim(u_ext, 1 + dr, 1 + dr + rl, axis=1)
+        if dt:
+            us = jnp.roll(us, -dt, axis=-1)
+            if not wrap_cols:
+                if dt > 0:
+                    us = us.at[..., -dt:].set(0.0)
+                else:
+                    us = us.at[..., : (-dt)].set(0.0)
+        y = y + jnp.einsum("ijrc,jrc->irc", st_local[s], us)
+    return y
+
+
+def _local_pcg(
+    reduced, raw, free_g, u_fixed_g, f_g, diag_inv, *, axis, wrap, rtol, maxiter
+):
+    def raw_mv(v):
+        return halo_stencil_matvec(raw, v, axis, wrap)
+
+    def op(v):
+        return halo_stencil_matvec(reduced, v, axis, wrap)
+
+    def precond(r):
+        return jnp.einsum("ijrc,jrc->irc", diag_inv, r)
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), axis)
+
+    b = free_g * (f_g - raw_mv((1.0 - free_g) * u_fixed_g)) + (
+        1.0 - free_g
+    ) * u_fixed_g
+    result = pcg(
+        op,
+        b,
+        preconditioner=precond,
+        x0=u_fixed_g,
+        rtol=rtol,
+        maxiter=maxiter,
+        dot=dot,
+    )
+    ku = raw_mv(result.x)
+    return result.x, ku, result.iterations, result.residual_norm, result.converged
+
+
+def sharded_stencil_pcg_solve(
+    problem: ShardedStencilProblem,
+    rtol: float = 1e-6,
+    maxiter: int = 100_000,
+):
+    """Row-sharded block-Jacobi PCG. Returns (CGResult, ku) with grid-shaped
+    row-sharded x [2, Rp, C] and ku = K x for force recovery."""
+    axis = problem.axis
+    spec5 = P(None, None, None, axis, None)
+    spec4 = P(None, None, axis, None)
+    spec3 = P(None, axis, None)
+
+    solve = jax.jit(
+        jax.shard_map(
+            partial(
+                _local_pcg,
+                axis=axis,
+                wrap=problem.wrap_cols,
+                rtol=rtol,
+                maxiter=maxiter,
+            ),
+            mesh=problem.device_mesh,
+            in_specs=(spec5, spec5, spec3, spec3, spec3, spec4),
+            out_specs=(spec3, spec3, P(), P(), P()),
+        )
+    )
+    x, ku, iters, resnorm, converged = solve(
+        problem.reduced,
+        problem.raw,
+        problem.free_g,
+        problem.u_fixed_g,
+        problem.f_g,
+        problem.diag_inv,
+    )
+    return (
+        CGResult(
+            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+        ),
+        ku,
+    )

@@ -1,0 +1,140 @@
+"""Row-sharded stencil PCG (ppermute halo exchange) on the 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from magnetite_tpu.bc import BCArrays
+from magnetite_tpu.config import SolverOptions
+from magnetite_tpu.fem.solve import solve_system
+from magnetite_tpu.meshing.generators import (
+    plate_with_hole_mesh,
+    rect_mesh,
+    tensile_bcs_for_rect,
+)
+from magnetite_tpu.parallel.stencil_shard import (
+    halo_stencil_matvec,
+    prepare_sharded_stencil_problem,
+    sharded_stencil_pcg_solve,
+)
+
+
+@pytest.fixture(scope="module")
+def device_mesh():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest must provide 8 virtual CPU devices"
+    return jax.make_mesh((8,), ("rows",))
+
+
+def _plate_case(nr, nt):
+    mesh = plate_with_hole_mesh(nr, nt)
+    n = mesh.num_nodes
+    c = mesh.coords
+    u_known = np.zeros((n, 2), dtype=bool)
+    u_value = np.zeros((n, 2))
+    left = np.isclose(c[:, 0], c[:, 0].min())
+    right = np.isclose(c[:, 0], c[:, 0].max())
+    u_known[left] = True
+    u_known[right, 0] = True
+    u_value[right, 0] = 0.01
+    return mesh, BCArrays(
+        u_known=u_known, u_value=u_value, f_value=np.zeros((n, 2))
+    )
+
+
+def test_halo_matvec_matches_single_device(metadata, device_mesh):
+    """Sharded halo matvec == single-device stencil matvec, incl. padding."""
+    from magnetite_tpu.fem.solve import _grid, _reduce_stencil
+    from magnetite_tpu.fem.stencil import (
+        assemble_stencil_structured,
+        stencil_matvec_xla,
+    )
+    from jax.sharding import PartitionSpec as P
+    from functools import partial
+
+    mesh, bca = _plate_case(21, 16)  # 22 rows -> padded to 24
+    rows, cols = mesh.grid_shape
+    problem = prepare_sharded_stencil_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float64
+    )
+    rows_pad = problem.free_g.shape[1]
+
+    rng = np.random.default_rng(0)
+    v = np.zeros((2, rows_pad, cols))
+    v[:, :rows, :] = rng.standard_normal((2, rows, cols))
+    from jax.sharding import NamedSharding
+
+    v_d = jax.device_put(
+        v, NamedSharding(device_mesh, P(None, "rows", None))
+    )
+
+    mv = jax.jit(
+        jax.shard_map(
+            partial(
+                halo_stencil_matvec, axis="rows", wrap_cols=mesh.wrap_cols
+            ),
+            mesh=device_mesh,
+            in_specs=(P(None, None, None, "rows", None), P(None, "rows", None)),
+            out_specs=P(None, "rows", None),
+        )
+    )
+    got = np.asarray(mv(problem.raw, v_d))
+
+    coords = jax.numpy.asarray(mesh.coords)
+    raw_ref = assemble_stencil_structured(
+        coords,
+        metadata.youngs_modulus,
+        metadata.poisson_ratio,
+        metadata.part_thickness,
+        rows,
+        cols,
+        mesh.wrap_cols,
+    )
+    want = np.asarray(
+        stencil_matvec_xla(raw_ref, jax.numpy.asarray(v[:, :rows]), mesh.wrap_cols)
+    )
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got[:, :rows], want, atol=1e-12 * scale)
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        lambda: _plate_case(23, 16),  # annulus, wrapped cols, 24 rows
+        lambda: (
+            rect_mesh(13, 12, width=2.0),
+            None,  # filled below
+        ),
+    ],
+)
+def test_sharded_stencil_pcg_matches_single_device(metadata, device_mesh, case):
+    mesh, bca = case()
+    if bca is None:
+        bca = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    problem = prepare_sharded_stencil_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float64
+    )
+    result, ku = sharded_stencil_pcg_solve(problem, rtol=1e-11)
+    assert bool(result.converged)
+
+    rows, cols = mesh.grid_shape
+    u_sharded = (
+        np.asarray(result.x)[:, :rows, :].reshape(2, -1).T
+    )  # [N, 2]
+
+    reference = solve_system(
+        mesh, bca, metadata, SolverOptions(cg_rtol=1e-12)
+    )
+    scale = np.abs(reference.u).max()
+    np.testing.assert_allclose(
+        u_sharded, reference.u, rtol=1e-7, atol=1e-8 * scale
+    )
+
+    # force recovery parity on constrained nodes
+    f_sharded = np.asarray(ku)[:, :rows, :].reshape(2, -1).T
+    np.testing.assert_allclose(
+        f_sharded[bca.u_known],
+        reference.f[bca.u_known],
+        rtol=1e-6,
+        atol=1e-6 * np.abs(reference.f).max(),
+    )
