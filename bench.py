@@ -2,14 +2,21 @@
 
 Headline: linkedin-logo example (the reference's only published number:
 0.286 s solve on a MacBook Air, reference readme.md:28) -- full device
-pipeline (element stiffness einsum + band assembly + preconditioned CG +
-stress recovery) in ONE jit call on one TPU chip. Extras report the
-1M-element plate-with-hole scale run with the geometric-multigrid solver
-(BASELINE.json north star) and a 4096-variant vmapped design sweep.
+pipeline (element stiffness + band assembly + preconditioned CG + stress
+recovery) in ONE jit call on one TPU chip. Extras:
 
-Timing notes: the axon tunnel adds ~26 ms per-dispatch round trip and moves
-data at ~50 MB/s, so all timed runs keep inputs AND outputs on device
-(CompiledProblem.solve_device) and sync on a scalar.
+  plate_*  -- 1M-element plate-with-hole, mixed-precision refined solve to
+              1e-8 RELATIVE residual (BASELINE.json north star), with the
+              relative residual reported.
+  spmv_*   -- stencil SpMV roofline: effective GB/s of the Pallas kernel,
+              measured dispatch-free (scan-length slope: time L2 and L1
+              chained matvecs inside one jit, divide the difference), vs
+              the v5e's 819 GB/s HBM peak. Target >= 50%.
+  sweep_*  -- 4096-variant vmapped design sweep.
+
+Timing notes: the axon tunnel adds ~26 ms per-dispatch round trip, so all
+timed runs keep inputs AND outputs on device and sync on a scalar; the SpMV
+numbers come from the slope method, which cancels the dispatch cost exactly.
 """
 
 from __future__ import annotations
@@ -18,6 +25,8 @@ import json
 import time
 
 import numpy as np
+
+HBM_PEAK_GBPS = 819.0  # TPU v5e (v5 lite) HBM bandwidth
 
 
 def _sync_scalar(out):
@@ -77,6 +86,7 @@ def bench_linkedin(extras):
 
 
 def bench_plate_1m(extras):
+    """1M elements, assembled + refined to 1e-8 relative residual on device."""
     from magnetite_tpu.config import ModelMetadata, SolverOptions
     from magnetite_tpu.fem.solve import compile_problem
 
@@ -87,21 +97,91 @@ def bench_plate_1m(extras):
 
     t0 = time.perf_counter()
     problem = compile_problem(
-        mesh, bca, metadata, SolverOptions(dtype="float32", cg_rtol=1e-6)
+        mesh, bca, metadata, SolverOptions(dtype="float32", cg_rtol=1e-8)
     )
     extras["plate_prep_s"] = round(time.perf_counter() - t0, 2)
 
     t, out = _time_device_solve(problem, repeats=3)
     iters = int(np.asarray(out[5]))
+    resnorm = float(np.asarray(out[6]))
+    bnorm = float(np.asarray(out[8]))
     n = mesh.num_nodes
     extras["plate_elements"] = mesh.num_elements
     extras["plate_nodes"] = n
     extras["plate_solve_s"] = round(t, 3)
-    extras["plate_iters"] = iters
+    extras["plate_inner_iters"] = iters
     extras["plate_operator"] = problem.mode
     extras["plate_preconditioner"] = problem.preconditioner
-    extras["plate_residual"] = float(np.asarray(out[6]))
-    extras["plate_dof_per_s"] = round(2 * n / t / 1e6, 2)  # MDOF/s end to end
+    extras["plate_refined"] = problem.refine
+    extras["plate_residual_abs"] = resnorm
+    extras["plate_rhs_norm"] = bnorm
+    extras["plate_residual_rel"] = resnorm / bnorm
+    extras["plate_mdof_per_s"] = round(2 * n / t / 1e6, 2)
+    return mesh, bca, metadata
+
+
+def bench_spmv_roofline(extras, plate):
+    """Pallas stencil SpMV GB/s via the scan-length slope method."""
+    import jax
+    import jax.numpy as jnp
+    from magnetite_tpu.fem.solve import _grid, _reduce_stencil
+    from magnetite_tpu.fem.stencil import (
+        assemble_stencil_structured,
+        make_stencil_operator,
+        stencil_matvec_xla,
+    )
+
+    mesh, bca, metadata = plate
+    rows, cols = mesh.grid_shape
+    wrap = mesh.wrap_cols
+
+    @jax.jit
+    def build(coords, free):
+        raw = assemble_stencil_structured(
+            coords,
+            jnp.float32(metadata.youngs_modulus),
+            jnp.float32(metadata.poisson_ratio),
+            jnp.float32(metadata.part_thickness),
+            rows,
+            cols,
+            wrap,
+        )
+        return _reduce_stencil(raw, free, wrap)
+
+    coords = jnp.asarray(mesh.coords, jnp.float32)
+    free = _grid(jnp.asarray(~bca.u_known, jnp.float32), rows, cols)
+    stencil = build(coords, free)
+    u0 = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, rows, cols)), jnp.float32
+    )
+
+    def chain_time(impl, length):
+        @jax.jit
+        def f(st, u):
+            op = make_stencil_operator(st, wrap) if impl == "auto" else (
+                lambda v: stencil_matvec_xla(st, v, wrap)
+            )
+            def step(v, _):
+                return op(v) / 2.0, None  # /2 keeps values finite
+            v, _ = jax.lax.scan(step, u, None, length=length)
+            return jnp.sum(v)
+        float(f(stencil, u0))  # warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(f(stencil, u0))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    bytes_per_mv = (36 + 2 + 2) * rows * cols * 4
+    l1, l2 = 40, 200
+    t_pallas = (chain_time("auto", l2) - chain_time("auto", l1)) / (l2 - l1)
+    gbps = bytes_per_mv / t_pallas / 1e9
+    extras["spmv_ms"] = round(t_pallas * 1e3, 4)
+    extras["spmv_gbps"] = round(gbps, 1)
+    extras["spmv_roofline_frac"] = round(gbps / HBM_PEAK_GBPS, 3)
+    t_xla = (chain_time("xla", l2) - chain_time("xla", l1)) / (l2 - l1)
+    extras["spmv_xla_gbps"] = round(bytes_per_mv / t_xla / 1e9, 1)
 
 
 def bench_sweep(extras):
@@ -135,18 +215,23 @@ def bench_sweep(extras):
         mesh, base, metadata, u_values, f_values, k_scales,
         iterations=150, dtype=np.float32,
     )
-    float(np.asarray(result.residual_norm[0]))
+    res_norms = np.asarray(result.residual_norm)
+    rhs_norms = np.asarray(result.rhs_norm)
     t = time.perf_counter() - t0
     extras["sweep_variants"] = b
     extras["sweep_mesh_elements"] = mesh.num_elements
     extras["sweep_warm_s"] = round(t, 3)
     extras["sweep_solves_per_s"] = round(b / t)
     extras["sweep_first_s"] = round(t_total, 2)
+    extras["sweep_rel_residual_max"] = float((res_norms / rhs_norms).max())
 
 
 def main():
     import jax
 
+    # x64 ON: the plate solve uses f64/f32 mixed-precision refinement (the
+    # hot loops stay f32; f64 is the operator/residual precision)
+    jax.config.update("jax_enable_x64", True)
     # TPU compiles of the multigrid pipeline are expensive; cache them.
     jax.config.update("jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -156,11 +241,20 @@ def main():
         "device": str(jax.devices()[0]),
     }
     linkedin_t = bench_linkedin(extras)
-    for name, fn in [("plate", bench_plate_1m), ("sweep", bench_sweep)]:
+    plate = None
+    try:
+        plate = bench_plate_1m(extras)
+    except Exception as err:  # extras must not mask the headline
+        extras["plate_error"] = f"{type(err).__name__}: {err}"
+    if plate is not None:
         try:
-            fn(extras)
-        except Exception as err:  # extras must not mask the headline
-            extras[f"{name}_error"] = f"{type(err).__name__}: {err}"
+            bench_spmv_roofline(extras, plate)
+        except Exception as err:
+            extras["spmv_error"] = f"{type(err).__name__}: {err}"
+    try:
+        bench_sweep(extras)
+    except Exception as err:
+        extras["sweep_error"] = f"{type(err).__name__}: {err}"
 
     baseline = 0.286  # reference readme.md:28
     print(

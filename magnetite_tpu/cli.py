@@ -73,6 +73,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="write a jax.profiler trace to this directory",
     )
     parser.add_argument(
+        "--cg-progress",
+        type=int,
+        default=0,
+        metavar="N",
+        help="log CG iteration/residual every N iterations during the solve",
+    )
+    parser.add_argument(
         "--save-case",
         default=None,
         help="checkpoint mesh+BCs to this npz after meshing",
@@ -119,6 +126,8 @@ def entry(argv=None) -> None:
         opt_kwargs["dtype"] = "float64"
     if args.rtol is not None:
         opt_kwargs["cg_rtol"] = args.rtol
+    if args.cg_progress > 0:
+        opt_kwargs["cg_progress_every"] = args.cg_progress
     options = SolverOptions(**opt_kwargs)
 
     profile_ctx = None

@@ -119,6 +119,11 @@ class SolverOptions:
     # Abort (typed SolverError) if NaN/Inf appears in the assembled operator
     # or the solution -- the numeric analog of a sanitizer.
     debug_nans: bool = False
+    # Record ||r|| for the first N CG iterations (SolveResult.residual_history).
+    residual_history: int = 0
+    # Stream an iteration/residual log line every N CG iterations during the
+    # solve (reference observer analog, src/solver.rs:40-107). 0 = silent.
+    cg_progress_every: int = 0
 
 
 @dataclass(frozen=True)

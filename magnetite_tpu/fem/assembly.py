@@ -128,7 +128,7 @@ def extract_block_diagonal(
     """
     n = ell_data.shape[0]
     own = jnp.arange(n, dtype=cols.dtype)[:, None] == cols  # [N, K]
-    return jnp.einsum("nk,nkij->nij", own.astype(ell_data.dtype), ell_data)
+    return jnp.einsum("nk,nkij->nij", own.astype(ell_data.dtype), ell_data, precision="highest")
 
 
 def assemble_dense(ke: jax.Array, tris: jax.Array, n_nodes: int) -> jax.Array:

@@ -22,10 +22,23 @@ class CGResult(NamedTuple):
     iterations: jax.Array  # int32 scalar
     residual_norm: jax.Array  # final ||r||_2
     converged: jax.Array  # bool scalar
+    # per-iteration ||r|| trace, shape [history] (0-size when not requested);
+    # entries past `iterations` keep the init value 0
+    history: jax.Array = None
 
 
 def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b)
+
+
+def default_progress_printer(k, rnorm, bnorm):
+    """Host-side observer (the indicatif-observer analog of reference
+    src/solver.rs:40-107): one log line per reporting interval."""
+    print(
+        f"info: cg iteration {int(k)}: residual {float(rnorm):.6e} "
+        f"(relative {float(rnorm) / max(float(bnorm), 1e-300):.3e})",
+        flush=True,
+    )
 
 
 def pcg(
@@ -38,11 +51,18 @@ def pcg(
     atol: float = 0.0,
     maxiter: int = 10_000_000,
     dot: Callable[[jax.Array, jax.Array], jax.Array] = _dot,
+    history: int = 0,
+    progress_every: int = 0,
+    progress_callback: Callable = None,
 ) -> CGResult:
     """Solve A x = b for SPD A.
 
     Stops when ||r|| <= max(rtol * ||b||, atol). `dot` is injectable so the
     sharded solver can psum partial reductions across the device mesh.
+    `history` > 0 records ||r|| for the first `history` iterations.
+    `progress_every` > 0 streams (iter, ||r||, ||b||) to `progress_callback`
+    (default: a log-line printer) every N iterations via jax.debug.callback
+    -- the device loop does not block on the host.
     """
     m = preconditioner if preconditioner is not None else (lambda r: r)
     x = jnp.zeros_like(b) if x0 is None else x0
@@ -54,13 +74,18 @@ def pcg(
     bnorm = jnp.sqrt(dot(b, b))
     threshold = jnp.maximum(rtol * bnorm, atol)
     thresh2 = threshold * threshold
+    hist0 = jnp.zeros((history,), dtype=b.dtype)
+    callback = (
+        progress_callback if progress_callback is not None
+        else default_progress_printer
+    )
 
     def cond(state):
-        _, _, _, _, rnorm2, k = state
+        _, _, _, _, rnorm2, k, _ = state
         return (rnorm2 > thresh2) & (k < maxiter)
 
     def body(state):
-        x, r, p, rz, _, k = state
+        x, r, p, rz, _, k, hist = state
         ap = matvec(p)
         pap = dot(p, ap)
         # Guard against breakdown (pap == 0 on an exactly-converged system).
@@ -71,10 +96,25 @@ def pcg(
         rz_new = dot(r, z)
         beta = rz_new / jnp.where(rz == 0, 1.0, rz)
         p = z + beta * p
-        return x, r, p, rz_new, dot(r, r), k + 1
+        rnorm2 = dot(r, r)
+        if history:
+            hist = jnp.where(
+                (jnp.arange(history) == jnp.minimum(k, history - 1)),
+                jnp.sqrt(rnorm2),
+                hist,
+            )
+        if progress_every:
+            jax.lax.cond(
+                (k + 1) % progress_every == 0,
+                lambda: jax.debug.callback(
+                    callback, k + 1, jnp.sqrt(rnorm2), bnorm
+                ),
+                lambda: None,
+            )
+        return x, r, p, rz_new, rnorm2, k + 1, hist
 
-    x, r, p, rz, rnorm2, k = jax.lax.while_loop(
-        cond, body, (x, r, p, rz, rnorm2, jnp.int32(0))
+    x, r, p, rz, rnorm2, k, hist = jax.lax.while_loop(
+        cond, body, (x, r, p, rz, rnorm2, jnp.int32(0), hist0)
     )
     rnorm = jnp.sqrt(rnorm2)
     return CGResult(
@@ -82,6 +122,7 @@ def pcg(
         iterations=k,
         residual_norm=rnorm,
         converged=rnorm2 <= thresh2,
+        history=hist,
     )
 
 

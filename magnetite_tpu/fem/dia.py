@@ -176,7 +176,7 @@ def hybrid_matvec(
     """y = K u: band rolls + a small COO scatter-add remainder."""
     y = dia_matvec(bands, offsets, u)
     ug = u[:, rem_cols]  # [2, R]
-    contrib = jnp.einsum("rij,jr->ir", rem_vals, ug)  # [2, R]
+    contrib = jnp.einsum("rij,jr->ir", rem_vals, ug, precision="highest")  # [2, R]
     return y.at[:, rem_rows].add(contrib)
 
 
@@ -199,11 +199,16 @@ def dia_matvec(bands: jax.Array, offsets: tuple[int, ...], u: jax.Array):
     invalid, so wraparound contributes exactly 0 -- and genuine periodic
     connectivity (annulus ring wrap) is just another offset.
     """
-    y = jnp.zeros_like(u)
+    y0 = jnp.zeros_like(u[0])
+    y1 = jnp.zeros_like(u[1])
     for d_idx, off in enumerate(offsets):
         shifted = jnp.roll(u, -off, axis=1) if off != 0 else u
-        y = y + jnp.einsum("ijn,jn->in", bands[d_idx], shifted)
-    return y
+        b = bands[d_idx]
+        # explicit 2x2 block FMAs: stays on the VPU in full f32 (an einsum
+        # contraction would lower to bf16 MXU passes)
+        y0 = y0 + b[0, 0] * shifted[0] + b[0, 1] * shifted[1]
+        y1 = y1 + b[1, 0] * shifted[0] + b[1, 1] * shifted[1]
+    return jnp.stack([y0, y1])
 
 
 def dia_diag_blocks(bands: jax.Array, offsets: tuple[int, ...]) -> jax.Array:

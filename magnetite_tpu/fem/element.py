@@ -93,7 +93,7 @@ def element_stiffness_matrices(
     areas = element_areas(ecoords)
     b = strain_displacement_matrices(ecoords, areas)  # [E,3,6]
     d = stress_strain_matrix(youngs_modulus, poisson_ratio, dtype=coords.dtype)
-    db = jnp.einsum("rs,esj->erj", d, b)  # [E,3,6]
-    ke = jnp.einsum("eri,erj->eij", b, db)  # [E,6,6]
+    db = jnp.einsum("rs,esj->erj", d, b, precision="highest")  # [E,3,6]
+    ke = jnp.einsum("eri,erj->eij", b, db, precision="highest")  # [E,6,6]
     scale = (areas * jnp.asarray(part_thickness, dtype=coords.dtype))[:, None, None]
     return ke * scale

@@ -226,7 +226,7 @@ def _smooth(level: MGLevel, wrap_cols, e, r, sweeps: int, omega: float):
     """Damped block-Jacobi: e += omega * D^-1 (r - A e)."""
     for _ in range(sweeps):
         res = r - level.op(e)
-        e = e + omega * jnp.einsum("ijrc,jrc->irc", level.diag_inv, res)
+        e = e + omega * jnp.einsum("ijrc,jrc->irc", level.diag_inv, res, precision="highest")
     return e
 
 

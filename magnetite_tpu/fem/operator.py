@@ -31,7 +31,7 @@ def ell_matvec(ell_data: jax.Array, cols: jax.Array, u: jax.Array) -> jax.Array:
     reference's CSR SpMV (src/solver.rs:31-37).
     """
     gathered = u[cols]  # [N, K, 2]
-    return jnp.einsum("nkij,nkj->ni", ell_data, gathered)
+    return jnp.einsum("nkij,nkj->ni", ell_data, gathered, precision="highest")
 
 
 def make_ell_operator(ell_data: jax.Array, cols: jax.Array) -> MatVec:
@@ -91,7 +91,7 @@ def block_jacobi_preconditioner(
     )
 
     def apply(r: jax.Array) -> jax.Array:
-        return jnp.einsum("nij,nj->ni", inv, r)
+        return jnp.einsum("nij,nj->ni", inv, r, precision="highest")
 
     return apply
 

@@ -54,9 +54,13 @@ class SolveResult:
     stress: np.ndarray  # [E] reference-formula scalar stress
     von_mises: np.ndarray  # [E] true von Mises stress
     iterations: int
-    residual_norm: float
+    residual_norm: float  # absolute ||b - K u|| on the reduced system
+    residual_rel: float  # residual_norm / ||b||
     converged: bool
     timings: dict
+    # ||r|| per iteration for the first SolverOptions.residual_history
+    # iterations (empty unless requested; empty in refine mode)
+    residual_history: np.ndarray = None
 
 
 def default_dtype(options: SolverOptions) -> np.dtype:
@@ -114,9 +118,15 @@ class CoreSpec(NamedTuple):
     refine: bool = False  # f64/f32 mixed-precision refinement (stencil)
     refine_inner_iters: int = 200
     refine_max_outer: int = 8
+    history: int = 0  # record ||r|| for the first N CG iterations
+    progress_every: int = 0  # stream a log line every N CG iterations
 
 
 # ----------------------------- mode cores ----------------------------------
+
+
+def _observe_kwargs(spec: "CoreSpec") -> dict:
+    return dict(history=spec.history, progress_every=spec.progress_every)
 
 
 def _grid(a, rows, cols):
@@ -162,7 +172,7 @@ def _stencil_preconditioner(spec: CoreSpec, reduced, free_g, wrap):
     inv = jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
 
     def precond(r):
-        return jnp.einsum("ijrc,jrc->irc", inv, r)
+        return jnp.einsum("ijrc,jrc->irc", inv, r, precision="highest")
 
     return precond
 
@@ -223,12 +233,17 @@ def _solve_stencil(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, n
             rtol=spec.rtol,
             atol=spec.atol,
             maxiter=spec.maxiter,
+            **_observe_kwargs(spec),
         )
         x, iters = result.x, result.iterations
 
     u = _ungrid(x)
     ku = _ungrid(raw_op(x))
-    return u, ku, iters, result.residual_norm, result.converged
+    bnorm = jnp.sqrt(jnp.sum(b * b))
+    history = getattr(result, "history", None)
+    if history is None or history.shape[0] != spec.history:
+        history = jnp.zeros((spec.history,), dtype=b.dtype)
+    return u, ku, iters, result.residual_norm, result.converged, bnorm, history
 
 
 def _solve_hybrid(
@@ -268,6 +283,7 @@ def _solve_hybrid(
         rtol=spec.rtol,
         atol=spec.atol,
         maxiter=spec.maxiter,
+        **_observe_kwargs(spec),
     )
     return (
         result.x.T,
@@ -275,6 +291,8 @@ def _solve_hybrid(
         result.iterations,
         result.residual_norm,
         result.converged,
+        jnp.sqrt(jnp.sum(b * b)),
+        result.history,
     )
 
 
@@ -313,6 +331,7 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
         rtol=spec.rtol,
         atol=spec.atol,
         maxiter=spec.maxiter,
+        **_observe_kwargs(spec),
     )
     return (
         result.x.T,
@@ -320,6 +339,8 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
         result.iterations,
         result.residual_norm,
         result.converged,
+        jnp.sqrt(jnp.sum(b * b)),
+        result.history,
     )
 
 
@@ -337,7 +358,10 @@ def _solve_dense(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, nu,
     u = u_flat.reshape(-1, 2)
     ku = (kmat @ u_flat).reshape(-1, 2)
     resnorm = jnp.linalg.norm(free * (f_value - ku))
-    return u, ku, jnp.int32(0), resnorm, jnp.bool_(True)
+    return (
+        u, ku, jnp.int32(0), resnorm, jnp.bool_(True), jnp.linalg.norm(b),
+        jnp.zeros((spec.history,), dtype=b.dtype),
+    )
 
 
 def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t):
@@ -359,6 +383,7 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
         rtol=spec.rtol,
         atol=spec.atol,
         maxiter=spec.maxiter,
+        **_observe_kwargs(spec),
     )
     return (
         result.x,
@@ -366,6 +391,8 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
         result.iterations,
         result.residual_norm,
         result.converged,
+        jnp.sqrt(jnp.sum(b * b)),
+        result.history,
     )
 
 
@@ -375,23 +402,23 @@ def _jitted_core(spec: CoreSpec):
 
     def core(coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t):
         if spec.mode == "stencil":
-            u, ku, iters, resnorm, converged = _solve_stencil(
+            u, ku, iters, resnorm, converged, bnorm, history = _solve_stencil(
                 spec, coords, tris, u_known, u_value, f_value, e, nu, t
             )
         elif spec.mode == "hybrid":
-            u, ku, iters, resnorm, converged = _solve_hybrid(
+            u, ku, iters, resnorm, converged, bnorm, history = _solve_hybrid(
                 spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t
             )
         elif spec.mode == "dia":
-            u, ku, iters, resnorm, converged = _solve_dia(
+            u, ku, iters, resnorm, converged, bnorm, history = _solve_dia(
                 spec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t
             )
         elif spec.mode == "dense":
-            u, ku, iters, resnorm, converged = _solve_dense(
+            u, ku, iters, resnorm, converged, bnorm, history = _solve_dense(
                 spec, coords, tris, u_known, u_value, f_value, e, nu, t
             )
         else:
-            u, ku, iters, resnorm, converged = _solve_ell(
+            u, ku, iters, resnorm, converged, bnorm, history = _solve_ell(
                 spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t
             )
 
@@ -401,7 +428,7 @@ def _jitted_core(spec: CoreSpec):
         sigma = element_stress_tensors(coords, tris, u, e, nu)
         stress = scalar_stress(sigma, sign_threshold=spec.stress_sign_threshold)
         vm = von_mises_stress(sigma)
-        return u, f, sigma, stress, vm, iters, resnorm, converged
+        return u, f, sigma, stress, vm, iters, resnorm, converged, bnorm, history
 
     return jax.jit(core)
 
@@ -457,7 +484,7 @@ class CompiledProblem:
         timings = dict(self.timings)
         t0 = time.perf_counter()
         out = self.core(*self.args)
-        u, f, sigma, stress, vm, iters, resnorm, converged = (
+        u, f, sigma, stress, vm, iters, resnorm, converged, bnorm, history = (
             jax.block_until_ready(out)
         )
         timings["solve_s"] = time.perf_counter() - t0
@@ -486,8 +513,10 @@ class CompiledProblem:
             von_mises=np.asarray(vm),
             iterations=int(iters),
             residual_norm=float(resnorm),
+            residual_rel=float(resnorm) / max(float(bnorm), 1e-300),
             converged=True,
             timings=timings,
+            residual_history=np.asarray(history)[: int(iters)],
         )
 
 
@@ -632,6 +661,8 @@ def compile_problem(
         refine=refine,
         refine_inner_iters=int(options.refine_inner_iters),
         refine_max_outer=int(options.refine_max_outer),
+        history=int(options.residual_history),
+        progress_every=int(options.cg_progress_every),
     )
     core = _jitted_core(spec)
 

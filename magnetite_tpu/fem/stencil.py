@@ -283,11 +283,15 @@ def stencil_matvec_xla(
     Row-shift zero padding is belt-and-braces: boundary stencil entries that
     would reach outside the grid are already zero by construction.
     """
-    y = jnp.zeros_like(u)
+    y0 = jnp.zeros_like(u[0])
+    y1 = jnp.zeros_like(u[1])
     for s, (dr, dt) in enumerate(OFFSETS):
         us = shift2d(u, dr, dt, wrap_cols)
-        y = y + jnp.einsum("ijrc,jrc->irc", stencil[s], us)
-    return y
+        blk = stencil[s]
+        # explicit 2x2 block FMAs (VPU, full f32; einsum would go bf16 MXU)
+        y0 = y0 + blk[0, 0] * us[0] + blk[0, 1] * us[1]
+        y1 = y1 + blk[1, 0] * us[0] + blk[1, 1] * us[1]
+    return jnp.stack([y0, y1])
 
 
 def stencil_matvec(

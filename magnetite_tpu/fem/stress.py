@@ -33,8 +33,8 @@ def element_stress_tensors(
     b = strain_displacement_matrices(ecoords, areas)  # [E,3,6]
     d = stress_strain_matrix(youngs_modulus, poisson_ratio, dtype=coords.dtype)
     ue = u[tris].reshape(tris.shape[0], 6)  # [E,6] interleaved [x0,y0,x1,...]
-    strain = jnp.einsum("erj,ej->er", b, ue)  # [E,3]
-    return jnp.einsum("rs,es->er", d, strain)
+    strain = jnp.einsum("erj,ej->er", b, ue, precision="highest")  # [E,3]
+    return jnp.einsum("rs,es->er", d, strain, precision="highest")
 
 
 def scalar_stress(sigma: jax.Array, sign_threshold: float = 1.0) -> jax.Array:

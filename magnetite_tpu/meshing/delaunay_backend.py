@@ -85,11 +85,18 @@ def triangulate(
     inside = points_in_domain(lattice, outer, holes)
     lattice = lattice[inside]
     if lattice.size:
+        from ..utils.logging import ProgressBar
+
+        # boundary-clearance pass is the long host loop on multi-hole
+        # geometries (lattice points x every loop's segments)
+        bar = ProgressBar(len(loops), label="clearance")
         clearance = np.full(lattice.shape[0], np.inf)
-        for loop in loops:
+        for i, loop in enumerate(loops):
             clearance = np.minimum(
                 clearance, min_distance_to_segments(lattice, loop)
             )
+            bar.update(i + 1)
+        bar.finish()
         lattice = lattice[clearance >= 0.7 * h]
 
     points = np.concatenate([boundary_pts, lattice], axis=0)

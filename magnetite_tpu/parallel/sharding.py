@@ -118,7 +118,7 @@ def prepare_sharded_problem(
         own = (
             jnp.arange(n_rows, dtype=cols.dtype)[:, None] == cols
         ).astype(ell.dtype)
-        d = jnp.einsum("nk,nkij->nij", own, ell)
+        d = jnp.einsum("nk,nkij->nij", own, ell, precision="highest")
         outer = free[:, :, None] * free[:, None, :]
         eye = jnp.eye(2, dtype=ell.dtype)
         d = d * outer + eye * (1.0 - free)[:, :, None]
@@ -163,13 +163,13 @@ def _local_pcg(
     def matvec(u_local):
         u_full = jax.lax.all_gather(u_local, axis, tiled=True)  # [Np,2]
         gathered = u_full[cols]  # [Nl,K,2]
-        return jnp.einsum("nkij,nkj->ni", ell, gathered)
+        return jnp.einsum("nkij,nkj->ni", ell, gathered, precision="highest")
 
     def op(v):
         return free * matvec(free * v) + (1.0 - free) * v
 
     def precond(r):
-        return jnp.einsum("nij,nj->ni", diag_inv, r)
+        return jnp.einsum("nij,nj->ni", diag_inv, r, precision="highest")
 
     def dot(a, b):
         return jax.lax.psum(jnp.sum(a * b), axis)
@@ -212,13 +212,13 @@ def sharded_batch_pcg_solve(
 
         def matvec(u_local):
             u_full = jax.lax.all_gather(u_local, axis_rows, tiled=True)
-            return jnp.einsum("nkij,nkj->ni", ell, u_full[cols])
+            return jnp.einsum("nkij,nkj->ni", ell, u_full[cols], precision="highest")
 
         def op(v):
             return free * matvec(free * v) + (1.0 - free) * v
 
         def precond(r):
-            return jnp.einsum("nij,nj->ni", diag_inv, r)
+            return jnp.einsum("nij,nj->ni", diag_inv, r, precision="highest")
 
         def dot(a, b):
             return jax.lax.psum(jnp.sum(a * b), axis_rows)

@@ -186,7 +186,8 @@ def halo_stencil_matvec(
     )
     u_ext = jnp.concatenate([from_above, u_local, from_below], axis=1)
 
-    y = jnp.zeros_like(u_local)
+    y0 = jnp.zeros_like(u_local[0])
+    y1 = jnp.zeros_like(u_local[1])
     for s, (dr, dt) in enumerate(OFFSETS):
         us = jax.lax.slice_in_dim(u_ext, 1 + dr, 1 + dr + rl, axis=1)
         if dt:
@@ -196,8 +197,11 @@ def halo_stencil_matvec(
                     us = us.at[..., -dt:].set(0.0)
                 else:
                     us = us.at[..., : (-dt)].set(0.0)
-        y = y + jnp.einsum("ijrc,jrc->irc", st_local[s], us)
-    return y
+        blk = st_local[s]
+        # explicit 2x2 block FMAs (VPU, full f32; einsum would go bf16 MXU)
+        y0 = y0 + blk[0, 0] * us[0] + blk[0, 1] * us[1]
+        y1 = y1 + blk[1, 0] * us[0] + blk[1, 1] * us[1]
+    return jnp.stack([y0, y1])
 
 
 def _local_pcg(
@@ -210,7 +214,7 @@ def _local_pcg(
         return halo_stencil_matvec(reduced, v, axis, wrap)
 
     def precond(r):
-        return jnp.einsum("ijrc,jrc->irc", diag_inv, r)
+        return jnp.einsum("ijrc,jrc->irc", diag_inv, r, precision="highest")
 
     def dot(a, b):
         return jax.lax.psum(jnp.sum(a * b), axis)

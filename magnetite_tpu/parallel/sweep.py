@@ -47,8 +47,9 @@ from ..meshing.core import Mesh
 
 class SweepResult(NamedTuple):
     u: jax.Array  # [B, N, 2]
-    residual_norm: jax.Array  # [B]
+    residual_norm: jax.Array  # [B] absolute ||b - K u|| per lane
     von_mises: jax.Array  # [B, E]
+    rhs_norm: jax.Array = None  # [B] ||b|| per lane (relative-residual scale)
 
 
 # ----------------------------- lanes path ---------------------------------
@@ -75,11 +76,16 @@ def _lanes_core(
     free_b = free[:, :, None]  # broadcast over lanes
 
     def base_matvec(u):  # u [2, N, B]
-        y = jnp.zeros_like(u)
+        y0 = jnp.zeros_like(u[0])
+        y1 = jnp.zeros_like(u[1])
         for d_idx, off in enumerate(offsets):
             shifted = jnp.roll(u, -off, axis=1) if off != 0 else u
-            y = y + jnp.einsum("ijn,jnb->inb", bands[d_idx], shifted)
-        return y * k_scales  # K_b = s_b * K
+            b = bands[d_idx][:, :, :, None]  # [2,2,N,1] broadcast over lanes
+            # explicit 2x2 block FMAs: full-f32 VPU (einsum lowers the tiny
+            # contraction to bf16 MXU passes and stalls CG convergence)
+            y0 = y0 + b[0, 0] * shifted[0] + b[0, 1] * shifted[1]
+            y1 = y1 + b[1, 0] * shifted[0] + b[1, 1] * shifted[1]
+        return jnp.stack([y0, y1]) * k_scales  # K_b = s_b * K
 
     def op(v):
         return free_b * base_matvec(free_b * v) + (1.0 - free_b) * v
@@ -101,8 +107,12 @@ def _lanes_core(
     # un-scale: M_b^{-1} = (1/s_b) M^{-1}, except fixed DOFs (identity rows)
     inv_scale = free_b / k_scales + (1.0 - free_b)
 
+    inv_b = inv[:, :, :, None]  # [2,2,N,1]
+
     def precond(r):
-        return jnp.einsum("ijn,jnb->inb", inv, r) * inv_scale
+        p0 = inv_b[0, 0] * r[0] + inv_b[0, 1] * r[1]
+        p1 = inv_b[1, 0] * r[0] + inv_b[1, 1] * r[1]
+        return jnp.stack([p0, p1]) * inv_scale
 
     rhs = free_b * (f_applied - base_matvec(u_fixed)) + (1.0 - free_b) * u_fixed
 
@@ -119,8 +129,8 @@ def _lanes_core(
     # stress per lane: sigma = s_b * D B u_b
     ue = u[:, tris, :]  # [2, E, 3, B]
     ue = ue.transpose(1, 2, 0, 3).reshape(tris.shape[0], 6, -1)  # [E, 6, B]
-    strain = jnp.einsum("erj,ejb->erb", b_mat, ue)  # [E, 3, B]
-    sigma = jnp.einsum("rs,esb->erb", d_mat, strain)  # [E, 3, B]
+    strain = jnp.einsum("erj,ejb->erb", b_mat, ue, precision="highest")  # [E, 3, B]
+    sigma = jnp.einsum("rs,esb->erb", d_mat, strain, precision="highest")  # [E, 3, B]
     vm = (
         jnp.sqrt(
             sigma[:, 0] ** 2
@@ -134,6 +144,7 @@ def _lanes_core(
         u.transpose(2, 1, 0),  # [B, N, 2]
         result.residual_norm,  # [B]
         vm.T,  # [B, E]
+        jnp.sqrt(_lane_dot(rhs, rhs)),  # [B]
     )
 
 
@@ -184,7 +195,7 @@ def _sweep_lanes(
     f_applied = jnp.asarray(
         np.ascontiguousarray(np.transpose(f_values, (2, 1, 0))).astype(dtype)
     )
-    u, res, vm = _lanes_jit(
+    u, res, vm, rhs_norm = _lanes_jit(
         bands,
         offsets,
         d_mat,
@@ -196,7 +207,7 @@ def _sweep_lanes(
         tris,
         int(iterations),
     )
-    return SweepResult(u=u, residual_norm=res, von_mises=vm)
+    return SweepResult(u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm)
 
 
 # ------------------------------ vmap path ---------------------------------
@@ -215,7 +226,7 @@ def _single_solve(
     result = pcg_fixed_iterations(
         op, b, preconditioner=precond, x0=u_fixed, iterations=iterations
     )
-    return result.x, result.residual_norm
+    return result.x, result.residual_norm, jnp.sqrt(jnp.sum(b * b))
 
 
 def _sweep_vmap(
@@ -244,10 +255,10 @@ def _sweep_vmap(
         own = (
             jnp.arange(n_nodes, dtype=cols.dtype)[:, None] == cols
         ).astype(ell.dtype)
-        diag = jnp.einsum("nk,nkij->nij", own, ell)
+        diag = jnp.einsum("nk,nkij->nij", own, ell, precision="highest")
 
         def lane(u_fixed, f_applied, k_scale):
-            u, res = _single_solve(
+            u, res, bn = _single_solve(
                 ell, cols, diag, free, u_fixed, f_applied, k_scale, iterations
             )
             sigma = element_stress_tensors(
@@ -258,11 +269,11 @@ def _sweep_vmap(
                 metadata.poisson_ratio,
             )
             vm = von_mises_stress(sigma) * k_scale
-            return u, res, vm
+            return u, res, vm, bn
 
         return jax.vmap(lane)(*batch)
 
-    u, res, vm = run(
+    u, res, vm, rhs_norm = run(
         (
             jnp.asarray(u_values, dtype=dtype),
             jnp.asarray(f_values, dtype=dtype),
@@ -278,7 +289,7 @@ def _sweep_vmap(
         n,
         structure.width,
     )
-    return SweepResult(u=u, residual_norm=res, von_mises=vm)
+    return SweepResult(u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm)
 
 
 # ------------------------------ public API --------------------------------

@@ -58,7 +58,8 @@ class ProgressBar:
         self._last = -1
 
     def update(self, count: int) -> None:
-        if not _enabled:
+        # hide on non-tty output like indicatif does (keeps piped logs clean)
+        if not _enabled or not sys.stdout.isatty():
             return
         filled = int(self.width * count / self.total)
         if filled == self._last:
@@ -70,7 +71,8 @@ class ProgressBar:
     def finish(self, message: str = "") -> None:
         if not _enabled:
             return
-        self.update(self.total)
-        print()
+        if sys.stdout.isatty():
+            self.update(self.total)
+            print()
         if message:
             log(message)
