@@ -203,22 +203,24 @@ def bench_sweep(extras):
     f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
     k_scales = rng.uniform(0.5, 2.0, b)
 
+    iters = 300  # ~1e-5 max relative residual across all 4096 lanes
     t0 = time.perf_counter()
     result = sweep_solve(
         mesh, base, metadata, u_values, f_values, k_scales,
-        iterations=150, dtype=np.float32,
+        iterations=iters, dtype=np.float32,
     )
     float(np.asarray(result.residual_norm[0]))
     t_total = time.perf_counter() - t0  # includes compile
     t0 = time.perf_counter()
     result = sweep_solve(
         mesh, base, metadata, u_values, f_values, k_scales,
-        iterations=150, dtype=np.float32,
+        iterations=iters, dtype=np.float32,
     )
     res_norms = np.asarray(result.residual_norm)
     rhs_norms = np.asarray(result.rhs_norm)
     t = time.perf_counter() - t0
     extras["sweep_variants"] = b
+    extras["sweep_iterations"] = iters
     extras["sweep_mesh_elements"] = mesh.num_elements
     extras["sweep_warm_s"] = round(t, 3)
     extras["sweep_solves_per_s"] = round(b / t)
@@ -240,21 +242,24 @@ def main():
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    def attempt(name, fn, *args, retries=2):
+        """The axon compile tunnel occasionally drops a connection mid-
+        compile; retry once before recording a failure (the persistent
+        compile cache makes the retry cheap). Returns (ok, result)."""
+        for _ in range(retries):
+            try:
+                result = fn(*args)
+                extras.pop(f"{name}_error", None)
+                return True, result
+            except Exception as err:
+                extras[f"{name}_error"] = f"{type(err).__name__}: {err}"
+        return False, None
+
     linkedin_t = bench_linkedin(extras)
-    plate = None
-    try:
-        plate = bench_plate_1m(extras)
-    except Exception as err:  # extras must not mask the headline
-        extras["plate_error"] = f"{type(err).__name__}: {err}"
-    if plate is not None:
-        try:
-            bench_spmv_roofline(extras, plate)
-        except Exception as err:
-            extras["spmv_error"] = f"{type(err).__name__}: {err}"
-    try:
-        bench_sweep(extras)
-    except Exception as err:
-        extras["sweep_error"] = f"{type(err).__name__}: {err}"
+    ok, plate = attempt("plate", bench_plate_1m, extras)
+    if ok:
+        attempt("spmv", bench_spmv_roofline, extras, plate)
+    attempt("sweep", bench_sweep, extras)
 
     baseline = 0.286  # reference readme.md:28
     print(

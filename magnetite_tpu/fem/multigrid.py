@@ -235,7 +235,9 @@ def vcycle_preconditioner(
     wrap_cols: bool,
     pre_sweeps: int = 2,
     post_sweeps: int = 2,
-    coarse_sweeps: int = 24,
+    # the coarsest grid is tiny (<=17x32), so a deep Jacobi "solve" there is
+    # nearly free and measurably tightens the V-cycle (1M-plate tuning)
+    coarse_sweeps: int = 48,
     omega: float = 0.7,
 ):
     """Returns apply(r [2,R,C]) -> approximate solution of A e = r.

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..bc import BCArrays
-from ..config import ModelMetadata, SolverOptions
+from ..config import ModelMetadata
 from ..fem.assembly import EllStructure, build_ell_structure
 from ..fem.cg import CGResult
 from ..fem.solve import assemble_ell_arrays

@@ -11,7 +11,6 @@ picked by the model's aspect ratio vs 16:9, shared axis limits, equal aspect.
 
 from __future__ import annotations
 
-import numpy as np
 
 from ..errors import PostProcessorError
 from ..fem.solve import SolveResult
