@@ -97,6 +97,30 @@ def test_halo_matvec_matches_single_device(metadata, device_mesh):
     np.testing.assert_allclose(got[:, :rows], want, atol=1e-12 * scale)
 
 
+def test_sharded_multigrid_matches_and_holds_iterations(metadata, device_mesh):
+    """Sharded MG (sharded fine smoothing + replicated coarse V-cycle):
+    solution parity AND an iteration count in the multigrid regime."""
+    mesh, bca = _plate_case(32, 32)  # 33 rows: coarsenable
+    problem = prepare_sharded_stencil_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float64
+    )
+    result, _ = sharded_stencil_pcg_solve(
+        problem, rtol=1e-10, preconditioner="multigrid"
+    )
+    assert bool(result.converged)
+    assert int(result.iterations) < 60  # block-Jacobi needs hundreds here
+
+    rows, cols = mesh.grid_shape
+    u_sharded = np.asarray(result.x)[:, :rows, :].reshape(2, -1).T
+    reference = solve_system(
+        mesh, bca, metadata, SolverOptions(cg_rtol=1e-12)
+    )
+    scale = np.abs(reference.u).max()
+    np.testing.assert_allclose(
+        u_sharded, reference.u, rtol=1e-7, atol=1e-8 * scale
+    )
+
+
 @pytest.mark.parametrize(
     "case",
     [
