@@ -210,6 +210,238 @@ def _sweep_lanes(
     return SweepResult(u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm)
 
 
+# -------------------------- stencil+MG lanes path --------------------------
+
+
+def _lane_stencil_matvec(stencil, u, wrap: bool):
+    """y = K u for all lanes: stencil [9,2,2,R,C], u [2,R,C,B].
+
+    ONE padded copy of u, then each of the nine neighbor accesses is a pure
+    static slice -- slices fuse into the FMA consumers, where a roll-based
+    shift would materialize a full shifted copy per offset (9x the HBM
+    writes at 4096 lanes).
+    """
+    from ..fem.stencil import OFFSETS
+
+    rows, cols = u.shape[-3], u.shape[-2]
+    if wrap:
+        # periodic cols: edge columns wrap; rows zero-pad
+        u_pad = jnp.concatenate(
+            [u[..., -1:, :], u, u[..., :1, :]], axis=-2
+        )
+        u_pad = jnp.pad(u_pad, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    else:
+        u_pad = jnp.pad(u, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+    y0 = jnp.zeros_like(u[0])
+    y1 = jnp.zeros_like(u[1])
+    for s, (dr, dt) in enumerate(OFFSETS):
+        us = jax.lax.slice(
+            u_pad,
+            (0, 1 + dr, 1 + dt, 0),
+            (2, 1 + dr + rows, 1 + dt + cols, u.shape[-1]),
+        )
+        blk = stencil[s][..., None]  # [2,2,R,C,1] broadcast over lanes
+        y0 = y0 + blk[0, 0] * us[0] + blk[0, 1] * us[1]
+        y1 = y1 + blk[1, 0] * us[0] + blk[1, 1] * us[1]
+    return jnp.stack([y0, y1])
+
+
+def _lane_prolong(uc, wrap: bool):
+    """Bilinear coarse -> fine on [..., Rc, Cc, B] (lane-batched
+    fem/multigrid.prolong: col axis -2, row axis -3)."""
+    if wrap:
+        mid = 0.5 * (uc + jnp.roll(uc, -1, axis=-2))
+        x = jnp.stack([uc, mid], axis=-2)
+        x = x.reshape(*uc.shape[:-2], -1, uc.shape[-1])
+    else:
+        a = uc[..., :-1, :]
+        mid = 0.5 * (uc[..., :-1, :] + uc[..., 1:, :])
+        body = jnp.stack([a, mid], axis=-2).reshape(
+            *uc.shape[:-3], uc.shape[-3], -1, uc.shape[-1]
+        )
+        x = jnp.concatenate([body, uc[..., -1:, :]], axis=-2)
+    a = x[..., :-1, :, :]
+    mid = 0.5 * (x[..., :-1, :, :] + x[..., 1:, :, :])
+    body = jnp.stack([a, mid], axis=-3).reshape(
+        *x.shape[:-3], -1, x.shape[-2], x.shape[-1]
+    )
+    return jnp.concatenate([body, x[..., -1:, :, :]], axis=-3)
+
+
+def _lane_restrict(rf, wrap: bool):
+    """Adjoint of _lane_prolong, fine -> coarse on [..., R, C, B]."""
+    even = rf[..., ::2, :, :]
+    odd = rf[..., 1::2, :, :]
+    pad_top = [(0, 0)] * (odd.ndim - 3) + [(1, 0), (0, 0), (0, 0)]
+    pad_bot = [(0, 0)] * (odd.ndim - 3) + [(0, 1), (0, 0), (0, 0)]
+    up = jnp.pad(odd, pad_top)[..., : even.shape[-3], :, :]
+    down = jnp.pad(odd, pad_bot)[..., : even.shape[-3], :, :]
+    x = even + 0.5 * (up + down)
+    even = x[..., ::2, :]
+    odd = x[..., 1::2, :]
+    if wrap:
+        left = jnp.roll(odd, 1, axis=-2)
+        return even + 0.5 * (odd + left)
+    pad_l = [(0, 0)] * (odd.ndim - 2) + [(1, 0), (0, 0)]
+    pad_r = [(0, 0)] * (odd.ndim - 2) + [(0, 1), (0, 0)]
+    up = jnp.pad(odd, pad_l)[..., : even.shape[-2], :]
+    down = jnp.pad(odd, pad_r)[..., : even.shape[-2], :]
+    return even + 0.5 * (up + down)
+
+
+def _lane_dinv(diag_inv, r):
+    d = diag_inv[..., None]  # [2,2,R,C,1]
+    return jnp.stack(
+        [d[0, 0] * r[0] + d[0, 1] * r[1], d[1, 0] * r[0] + d[1, 1] * r[1]]
+    )
+
+
+def _lane_vcycle(levels, wrap, pre=2, post=2, coarse_sweeps=48, omega=0.7):
+    """V-cycle over lane-batched fields sharing ONE hierarchy: the variants
+    differ only by the scale s_b, and V(s_b K) = (1/s_b) V(K) exactly."""
+
+    def smooth(level, e, r, sweeps):
+        for _ in range(sweeps):
+            res = r - _lane_stencil_matvec(level.stencil, e, wrap)
+            e = e + omega * _lane_dinv(level.diag_inv, res)
+        return e
+
+    def cycle(l, r):
+        level = levels[l]
+        zero = jnp.zeros_like(r)
+        if l == len(levels) - 1:
+            return smooth(level, zero, r, coarse_sweeps)
+        e = smooth(level, zero, r, pre)
+        res = r - _lane_stencil_matvec(level.stencil, e, wrap)
+        ec = cycle(l + 1, _lane_restrict(res, wrap))
+        e = e + _lane_prolong(ec, wrap)
+        return smooth(level, e, r, post)
+
+    return lambda r: cycle(0, r)
+
+
+def _lane_grid_dot(a, b):
+    """Per-lane inner product on [2, R, C, B] -> [B]."""
+    return jnp.sum(a * b, axis=(0, 1, 2))
+
+
+@partial(jax.jit, static_argnames=("rows", "cols", "wrap", "iterations"))
+def _stencil_lanes_jit(
+    coords, tris, free_g, u_values, f_values, k_scales, e_mod, nu, t,
+    rows, cols, wrap, iterations,
+):
+    from ..fem.element import (
+        element_areas,
+        gather_element_coords,
+        strain_displacement_matrices,
+        stress_strain_matrix,
+    )
+    from ..fem.solve import _reduce_stencil
+    from ..fem.multigrid import build_hierarchy
+    from ..fem.stencil import assemble_stencil_structured
+
+    # lane layout transform on device ([B,N,2] -> [2,R,C,B]); doing this on
+    # host costs a 140 MB numpy transpose + copy per call
+    b = u_values.shape[0]
+    u_fixed = u_values.transpose(2, 1, 0).reshape(2, rows, cols, b)
+    f_applied = f_values.transpose(2, 1, 0).reshape(2, rows, cols, b)
+
+    raw = assemble_stencil_structured(coords, e_mod, nu, t, rows, cols, wrap)
+    reduced = _reduce_stencil(raw, free_g, wrap)
+    levels = build_hierarchy(reduced, free_g, wrap)
+
+    free_b = free_g[..., None]  # [2, R, C, 1]
+    inv_scale = free_b / k_scales + (1.0 - free_b)
+
+    def op(v):  # lanes of s_b * K_reduced
+        y = _lane_stencil_matvec(reduced, v, wrap)
+        return free_b * y * k_scales + (1.0 - free_b) * v
+
+    vcycle = _lane_vcycle(levels, wrap)
+
+    def precond(r):  # V(s_b K)^-1 = (1/s_b) V(K)^-1, identity on fixed DOFs
+        return vcycle(r) * inv_scale
+
+    raw_mv = lambda v: _lane_stencil_matvec(raw, v, wrap)
+    rhs = free_b * (f_applied - raw_mv(u_fixed) * k_scales) + (
+        1.0 - free_b
+    ) * u_fixed
+
+    result = pcg_fixed_iterations(
+        op,
+        rhs,
+        preconditioner=precond,
+        x0=u_fixed,
+        iterations=iterations,
+        dot=_lane_grid_dot,
+    )
+    # recompute the TRUE residual (CG's recursive residual drifts below the
+    # f32 floor and would over-report convergence)
+    res_true = rhs - op(result.x)
+    res_norm = jnp.sqrt(_lane_grid_dot(res_true, res_true))
+
+    # stress recovery per lane: sigma = s_b * D B u_b
+    ecoords = gather_element_coords(coords, tris)
+    areas = element_areas(ecoords)
+    b_mat = strain_displacement_matrices(ecoords, areas)
+    d_mat = stress_strain_matrix(e_mod, nu, dtype=coords.dtype)
+    u_flat = result.x.reshape(2, rows * cols, b)
+    ue = u_flat[:, tris, :]  # [2, E, 3, B]
+    ue = ue.transpose(1, 2, 0, 3).reshape(tris.shape[0], 6, -1)
+    strain = jnp.einsum("erj,ejb->erb", b_mat, ue, precision="highest")
+    sigma = jnp.einsum("rs,esb->erb", d_mat, strain, precision="highest")
+    vm = (
+        jnp.sqrt(
+            sigma[:, 0] ** 2
+            - sigma[:, 0] * sigma[:, 1]
+            + sigma[:, 1] ** 2
+            + 3.0 * sigma[:, 2] ** 2
+        )
+        * k_scales[None, :]
+    )
+    return (
+        u_flat.transpose(2, 1, 0),
+        res_norm,
+        vm.T,
+        jnp.sqrt(_lane_grid_dot(rhs, rhs)),
+    )
+
+
+def _sweep_stencil_lanes(
+    mesh, base_bca, metadata, u_values, f_values, k_scales, iterations, dtype
+):
+    """Lane-batched sweep on the stencil operator with a SHARED multigrid
+    hierarchy: one V-cycle preconditions all 4096 variants at once, so the
+    fixed iteration budget drops from hundreds (block-Jacobi) to ~15."""
+    from ..fem.solve import _grid
+
+    rows, cols = mesh.grid_shape
+    wrap = mesh.wrap_cols
+    coords = jnp.asarray(mesh.coords, dtype=dtype)
+    tris = jnp.asarray(mesh.tris)
+    free_g = _grid(jnp.asarray(~base_bca.u_known, dtype=dtype), rows, cols)
+
+    u, res, vm, rhs_norm = _stencil_lanes_jit(
+        coords,
+        tris,
+        free_g,
+        jnp.asarray(u_values, dtype=dtype),
+        jnp.asarray(f_values, dtype=dtype),
+        jnp.asarray(k_scales, dtype=dtype),
+        jnp.asarray(metadata.youngs_modulus, dtype=dtype),
+        jnp.asarray(metadata.poisson_ratio, dtype=dtype),
+        jnp.asarray(metadata.part_thickness, dtype=dtype),
+        rows,
+        cols,
+        wrap,
+        int(iterations),
+    )
+    return SweepResult(
+        u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
+    )
+
+
 # ------------------------------ vmap path ---------------------------------
 
 
@@ -315,6 +547,29 @@ def sweep_solve(
     and thickness (u scales as 1/s for force-driven cases; stress recovery
     accounts for the material scale in both cases).
     """
+    if impl in ("auto", "stencil") and mesh.grid_shape is not None:
+        from ..fem.multigrid import can_coarsen
+        from ..fem.stencil import build_stencil_structure
+
+        rows, cols = mesh.grid_shape
+        grid_ok = mesh.grid_local or (
+            build_stencil_structure(mesh.tris, rows, cols, mesh.wrap_cols)
+            is not None
+        )
+        if (
+            grid_ok
+            and mesh.canonical_grid
+            and can_coarsen(rows, cols, mesh.wrap_cols)
+        ):
+            return _sweep_stencil_lanes(
+                mesh, base_bca, metadata, u_values, f_values, k_scales,
+                iterations, dtype,
+            )
+        if impl == "stencil":
+            raise ValueError(
+                "mesh is not a coarsenable canonical grid; stencil sweep "
+                "unavailable"
+            )
     if impl in ("auto", "lanes"):
         dia = build_dia_structure(mesh.tris, mesh.num_nodes)
         if dia is not None:

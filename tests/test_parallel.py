@@ -137,3 +137,51 @@ def test_sweep_k_scale_linearity(metadata):
     vm = np.asarray(sweep.von_mises)
     np.testing.assert_allclose(vm[1], 2 * vm[0], rtol=1e-9)
     np.testing.assert_allclose(vm[2], 4 * vm[0], rtol=1e-9)
+
+
+def test_stencil_mg_sweep_matches_individual_solves(metadata):
+    """Lane-batched stencil sweep with a SHARED multigrid hierarchy: a few
+    iterations converge all variants; parity vs one-at-a-time solves."""
+    from magnetite_tpu.fem.multigrid import can_coarsen
+    from magnetite_tpu.bc import BCArrays
+    from magnetite_tpu.config import ModelMetadata
+
+    mesh = rect_mesh(32, 16, width=2.0)  # grid (17, 33): coarsenable
+    assert can_coarsen(*mesh.grid_shape, mesh.wrap_cols)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    pulls = np.array([0.005, 0.01, 0.02, 0.04])
+    k_scales = np.array([0.5, 1.0, 1.5, 2.0])
+    b = pulls.size
+    right = np.isclose(mesh.coords[:, 0], 2.0)
+    u_values = np.tile(base.u_value[None], (b, 1, 1))
+    u_values[:, right, 0] = pulls[:, None]
+    f_values = np.zeros((b, mesh.num_nodes, 2))
+
+    result = sweep_solve(
+        mesh, base, metadata, u_values, f_values, k_scales,
+        iterations=20, dtype=np.float64, impl="stencil",
+    )
+    rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
+    assert rel.max() < 1e-8  # 20 MG-PCG iterations must be deep convergence
+
+    for i in range(b):
+        bca_i = BCArrays(
+            u_known=base.u_known, u_value=u_values[i], f_value=f_values[i]
+        )
+        md_i = ModelMetadata(
+            youngs_modulus=metadata.youngs_modulus * k_scales[i],
+            poisson_ratio=metadata.poisson_ratio,
+            part_thickness=metadata.part_thickness,
+            characteristic_length_min=0.0,
+            characteristic_length_max=0.3,
+        )
+        ref = solve_system(mesh, bca_i, md_i, SolverOptions(cg_rtol=1e-11))
+        scale = np.abs(ref.u).max()
+        np.testing.assert_allclose(
+            np.asarray(result.u)[i], ref.u, atol=1e-8 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.von_mises)[i],
+            ref.von_mises,
+            rtol=1e-6,
+        )
