@@ -14,8 +14,9 @@ ring wraps). Storing one band per offset turns SpMV into
     y[i,n] = sum_d sum_j band[d,i,j,n] * u[j, n + offset_d]
 
 -- static rolls + fused multiply-adds over [2, N] vectors with N minormost
-(perfect lane layout), no gather anywhere. Measured ~70% of streaming
-roofline on v5e vs ~2% for the gather formulation.
+(perfect lane layout), no gather anywhere; an order of magnitude faster
+than the gather formulation on v5e (XLA lowers unstructured gathers to a
+few GB/s).
 
 Falls back to ELL (operator.py) when a mesh's offset set is too large
 (pathological unstructured numbering); `renumber` in meshing.reorder reduces

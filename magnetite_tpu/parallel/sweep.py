@@ -6,13 +6,18 @@ the solve into a design sweep over load variants (prescribed displacements /
 applied forces) and stiffness scale factors (Young's modulus at fixed
 Poisson ratio: K' = s*K reuses ONE assembled operator).
 
-Two implementations:
-  * lanes path (TPU-fast, default when the mesh is DIA-compatible): fields
-    are laid out [2, N, B] with the BATCH as the minor (lane) dimension --
-    4096 variants = 4096 lanes, zero padding waste. The band SpMV broadcasts
-    one operator over all lanes; CG scalars become [B] vectors. A naive
-    vmap of the [N,K,2,2] ELL solver pads its tiny minor dims 64x and OOMs
-    at B=4096; this layout is why the sweep fits.
+Three implementations, picked per mesh:
+  * stencil+MG lanes (canonical coarsenable grids): fields [2, R, C, B]
+    with the BATCH as the minor (lane) dimension, the stencil operator
+    applied by pad-once + static slices, and ONE shared geometric-multigrid
+    hierarchy preconditioning every lane exactly (the variants differ from
+    the base operator only by the scale s_b, and V(s_b K)^-1 =
+    (1/s_b) V(K)^-1). 20 iterations reach ~1e-6 true relative residual;
+    ~2200 solves/s for 4096 variants on one v5e.
+  * DIA lanes (near-structured meshes): fields [2, N, B], band SpMV
+    broadcast over lanes, block-Jacobi. A naive vmap of the [N,K,2,2] ELL
+    solver pads its tiny minor dims 64x and OOMs at B=4096; the
+    lanes-minormost layout is why the sweep fits.
   * vmap path (fallback for unstructured meshes): jax.vmap over the
     gather-ELL solver.
 
