@@ -107,10 +107,10 @@ class SolverOptions:
     dense_cutoff: int = 0
     dtype: Optional[str] = None  # None = f64 if x64 enabled else f32
     # Mixed-precision iterative refinement: f64 operator + residual, f32
-    # CG/multigrid inner solves. "auto" engages it when the requested
-    # cg_rtol is below what the working dtype can reach and x64 is enabled;
-    # "on" forces it (stencil operator only), "off" clamps cg_rtol to the
-    # working precision instead.
+    # CG/multigrid inner solves. "auto" engages it on the stencil operator
+    # when the requested cg_rtol is below what the working dtype can reach
+    # and x64 is enabled; "on" forces it for any sparse operator format;
+    # "off" clamps cg_rtol to the working precision instead.
     refine: str = "auto"
     # Iteration cap for each inner f32 solve between refinement residual
     # checks, and cap on refinement passes.

@@ -246,6 +246,53 @@ def _solve_stencil(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, n
     return u, ku, iters, result.residual_norm, result.converged, bnorm, history
 
 
+def _run_linear_solve(spec: CoreSpec, op, precond, b, x0, op32=None, precond32=None):
+    """PCG or (when spec.refine) f64/f32 mixed-precision refinement.
+
+    Returns (x, iters, resnorm, converged, history). Refinement reports an
+    empty history (the inner solves restart each pass).
+    """
+    if spec.refine:
+        from .refine import mixed_precision_solve
+
+        result = mixed_precision_solve(
+            op,
+            op32,
+            b,
+            preconditioner32=precond32,
+            x0=x0,
+            rtol=spec.rtol,
+            atol=spec.atol,
+            inner_maxiter=spec.refine_inner_iters,
+            max_outer=spec.refine_max_outer,
+        )
+        history = jnp.zeros((spec.history,), dtype=b.dtype)
+        return (
+            result.x,
+            result.inner_iterations,
+            result.residual_norm,
+            result.converged,
+            history,
+        )
+    result = pcg(
+        op,
+        b,
+        preconditioner=precond,
+        x0=x0,
+        rtol=spec.rtol,
+        atol=spec.atol,
+        maxiter=spec.maxiter,
+        **_observe_kwargs(spec),
+    )
+    return (
+        result.x,
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+        result.history,
+    )
+
+
 def _solve_hybrid(
     spec: CoreSpec, coords, tris, rem_idx, slot_ids, u_known, u_value, f_value, e, nu, t
 ):
@@ -263,36 +310,42 @@ def _solve_hybrid(
         ke, slot_ids, n, len(offsets), rem_idx.shape[1]
     )
 
-    def matvec_t(v):
-        return hybrid_matvec(bands, offsets, rem_vals, rem_rows, rem_cols, v)
+    def make_op(bands_, rem_vals_, free_):
+        def matvec(v):
+            return hybrid_matvec(
+                bands_, offsets, rem_vals_, rem_rows, rem_cols, v
+            )
 
-    def op(v):
-        return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
+        def op(v):
+            return free_ * matvec(free_ * v) + (1.0 - free_) * v
 
-    diag_t = bands[offsets.index(0)]
+        return matvec, op
+
+    matvec_t, op = make_op(bands, rem_vals, free_t)
+    zero_idx = offsets.index(0)
     if spec.preconditioner == "none":
         precond = identity_preconditioner()
     else:
-        precond = block_jacobi_inverse_t(diag_t, free_t)
+        precond = block_jacobi_inverse_t(bands[zero_idx], free_t)
+    op32 = precond32 = None
+    if spec.refine:
+        f32 = jnp.float32
+        free32 = free_t.astype(f32)
+        bands32, rem32 = bands.astype(f32), rem_vals.astype(f32)
+        _, op32 = make_op(bands32, rem32, free32)
+        precond32 = block_jacobi_inverse_t(bands32[zero_idx], free32)
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
-    result = pcg(
-        op,
-        b,
-        preconditioner=precond,
-        x0=u_fixed_t,
-        rtol=spec.rtol,
-        atol=spec.atol,
-        maxiter=spec.maxiter,
-        **_observe_kwargs(spec),
+    x, iters, resnorm, converged, history = _run_linear_solve(
+        spec, op, precond, b, u_fixed_t, op32, precond32
     )
     return (
-        result.x.T,
-        matvec_t(result.x).T,
-        result.iterations,
-        result.residual_norm,
-        result.converged,
+        x.T,
+        matvec_t(x).T,
+        iters,
+        resnorm,
+        converged,
         jnp.sqrt(jnp.sum(b * b)),
-        result.history,
+        history,
     )
 
 
@@ -312,35 +365,41 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
 
     ke = element_stiffness_matrices(coords, tris, e, nu, t)
     bands = assemble_dia(ke, slot_ids, n, len(offsets))
-    matvec_t = make_dia_operator(bands, offsets)
 
-    def op(v):
-        return free_t * matvec_t(free_t * v) + (1.0 - free_t) * v
+    def make_op(bands_, free_):
+        matvec = make_dia_operator(bands_, offsets)
 
-    diag_t = dia_diag_blocks(bands, offsets)
+        def op(v):
+            return free_ * matvec(free_ * v) + (1.0 - free_) * v
+
+        return matvec, op
+
+    matvec_t, op = make_op(bands, free_t)
     if spec.preconditioner == "none":
         precond = identity_preconditioner()
     else:
-        precond = block_jacobi_inverse_t(diag_t, free_t)
+        precond = block_jacobi_inverse_t(dia_diag_blocks(bands, offsets), free_t)
+    op32 = precond32 = None
+    if spec.refine:
+        f32 = jnp.float32
+        free32 = free_t.astype(f32)
+        bands32 = bands.astype(f32)
+        _, op32 = make_op(bands32, free32)
+        precond32 = block_jacobi_inverse_t(
+            dia_diag_blocks(bands32, offsets), free32
+        )
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
-    result = pcg(
-        op,
-        b,
-        preconditioner=precond,
-        x0=u_fixed_t,
-        rtol=spec.rtol,
-        atol=spec.atol,
-        maxiter=spec.maxiter,
-        **_observe_kwargs(spec),
+    x, iters, resnorm, converged, history = _run_linear_solve(
+        spec, op, precond, b, u_fixed_t, op32, precond32
     )
     return (
-        result.x.T,
-        matvec_t(result.x).T,
-        result.iterations,
-        result.residual_norm,
-        result.converged,
+        x.T,
+        matvec_t(x).T,
+        iters,
+        resnorm,
+        converged,
         jnp.sqrt(jnp.sum(b * b)),
-        result.history,
+        history,
     )
 
 
@@ -375,6 +434,28 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
     diag_blocks = extract_block_diagonal(ell, cols)
     precond = _make_preconditioner(spec.preconditioner, diag_blocks, free)
     b = reduced_rhs(matvec, free, u_value, f_value)
+    if spec.refine:
+        f32 = jnp.float32
+        free32 = free.astype(f32)
+        ell32 = ell.astype(f32)
+        op32 = make_constrained_operator(
+            make_ell_operator(ell32, cols), free32
+        )
+        precond32 = _make_preconditioner(
+            spec.preconditioner, diag_blocks.astype(f32), free32
+        )
+        x, iters, resnorm, converged, history = _run_linear_solve(
+            spec, op, precond, b, u_value, op32, precond32
+        )
+        return (
+            x,
+            matvec(x),
+            iters,
+            resnorm,
+            converged,
+            jnp.sqrt(jnp.sum(b * b)),
+            history,
+        )
     result = pcg(
         op,
         b,
@@ -614,13 +695,17 @@ def compile_problem(
     rtol = float(options.cg_rtol)
     refine = False
     x64 = bool(jax.config.jax_enable_x64)
-    if mode == "stencil" and options.refine == "on":
+    if options.refine == "on" and mode != "dense":
         if not x64:
             raise SolverError(
                 "refine='on' requires jax_enable_x64 (f64 residuals)"
             )
         refine = True
     elif (
+        # "auto" engages only for the stencil operator: its scatter-free
+        # f64 assembly is cheap at any scale, while the irregular formats'
+        # f64 element tensors can blow up compilation on 1M+ meshes --
+        # those opt in explicitly with refine="on"
         mode == "stencil"
         and options.refine == "auto"
         and x64

@@ -70,6 +70,26 @@ def test_stencil_refine_hits_tight_tolerance(metadata):
     assert rel_u < 1e-8
 
 
+@pytest.mark.parametrize("operator", ["dia", "hybrid", "ell"])
+def test_refine_on_irregular_operators(metadata, operator):
+    """refine='on' reaches f64-grade accuracy on every sparse format."""
+    mesh, bca = _plate_case(16, 32)
+    options = SolverOptions(
+        dtype="float32", cg_rtol=1e-10, refine="on", operator=operator
+    )
+    problem = compile_problem(mesh, bca, metadata, options)
+    assert problem.mode == operator and problem.refine
+    res = problem.solve()
+    assert res.converged and res.residual_rel <= 1e-10
+
+    ref = solve_system(
+        mesh, bca, metadata,
+        SolverOptions(dtype="float64", cg_rtol=1e-12, operator=operator),
+    )
+    rel_u = np.abs(res.u - ref.u).max() / np.abs(ref.u).max()
+    assert rel_u < 1e-8
+
+
 def test_refine_auto_engages_below_f32_floor(metadata):
     mesh, bca = _plate_case(16, 32)
     problem = compile_problem(
