@@ -48,9 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--precision",
-        choices=["f32", "f64"],
+        choices=["f32", "f64", "mixed"],
         default=None,
-        help="solve precision (default: f64 on CPU, f32 on TPU)",
+        help="solve precision (default: f64 on CPU, f32 on TPU); 'mixed' "
+        "= f64 operator/residual with f32 inner solves (f64 accuracy at "
+        "f32 iteration speed)",
     )
     parser.add_argument(
         "--save-plot", default=None, help="save the figure to this path"
@@ -119,6 +121,10 @@ def entry(argv=None) -> None:
     elif args.precision == "f64":
         jax.config.update("jax_enable_x64", True)
         opt_kwargs["dtype"] = "float64"
+    elif args.precision == "mixed":
+        jax.config.update("jax_enable_x64", True)
+        opt_kwargs["dtype"] = "float32"
+        opt_kwargs["refine"] = "on"
     elif jax.default_backend() == "cpu":
         # CPU default: full f64 accuracy (TPU default stays f32).
         jax.config.update("jax_enable_x64", True)

@@ -113,8 +113,10 @@ class SolverOptions:
     # "off" clamps cg_rtol to the working precision instead.
     refine: str = "auto"
     # Iteration cap for each inner f32 solve between refinement residual
-    # checks, and cap on refinement passes.
-    refine_inner_iters: int = 100
+    # checks, and cap on refinement passes. Multigrid inner solves converge
+    # in a few dozen iterations; the cap exists for block-Jacobi inner
+    # solves on irregular meshes, which need a few hundred per pass.
+    refine_inner_iters: int = 400
     refine_max_outer: int = 8
     # Abort (typed SolverError) if NaN/Inf appears in the assembled operator
     # or the solution -- the numeric analog of a sanitizer.
