@@ -78,6 +78,10 @@ def _lanes_core(
     iterations: int,
 ):
     """Batched solve with batch as the lane dimension."""
+    # lane layout transform on device ([B,N,2] -> [2,N,B]); a host-side
+    # numpy transpose of 4096 cases costs a >100 MB copy per call
+    u_fixed = u_fixed.transpose(2, 1, 0)
+    f_applied = f_applied.transpose(2, 1, 0)
     free_b = free[:, :, None]  # broadcast over lanes
 
     def base_matvec(u):  # u [2, N, B]
@@ -194,20 +198,14 @@ def _sweep_lanes(
     )
 
     free = jnp.asarray((~base_bca.u_known).T.astype(dtype))  # [2, N]
-    u_fixed = jnp.asarray(
-        np.ascontiguousarray(np.transpose(u_values, (2, 1, 0))).astype(dtype)
-    )  # [2, N, B]
-    f_applied = jnp.asarray(
-        np.ascontiguousarray(np.transpose(f_values, (2, 1, 0))).astype(dtype)
-    )
     u, res, vm, rhs_norm = _lanes_jit(
         bands,
         offsets,
         d_mat,
         b_mat,
         free,
-        u_fixed,
-        f_applied,
+        jnp.asarray(u_values, dtype=dtype),  # [B, N, 2]
+        jnp.asarray(f_values, dtype=dtype),
         jnp.asarray(k_scales, dtype=dtype),
         tris,
         int(iterations),
