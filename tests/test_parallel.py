@@ -185,3 +185,39 @@ def test_stencil_mg_sweep_matches_individual_solves(metadata):
             ref.von_mises,
             rtol=1e-6,
         )
+
+
+def test_vmap_sweep_fallback_matches_lanes(metadata):
+    """The gather-ELL vmap fallback (for meshes with no band structure)
+    agrees with the DIA lanes path on the same inputs."""
+    from magnetite_tpu.parallel.sweep import _sweep_vmap, _sweep_lanes
+    from magnetite_tpu.fem.dia import build_dia_structure
+
+    mesh = rect_mesh(6, 4, width=2.0)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    pulls = np.array([0.005, 0.02])
+    k_scales = np.array([0.8, 1.6])
+    b = pulls.size
+    right = np.isclose(mesh.coords[:, 0], 2.0)
+    u_values = np.tile(base.u_value[None], (b, 1, 1))
+    u_values[:, right, 0] = pulls[:, None]
+    f_values = np.zeros((b, mesh.num_nodes, 2))
+
+    dia = build_dia_structure(mesh.tris, mesh.num_nodes)
+    lanes = _sweep_lanes(
+        mesh, base, metadata, u_values, f_values, k_scales, 400, np.float64,
+        dia,
+    )
+    vmapped = _sweep_vmap(
+        mesh, base, metadata, u_values, f_values, k_scales, 400, np.float64,
+        None,
+    )
+    scale = np.abs(np.asarray(lanes.u)).max()
+    np.testing.assert_allclose(
+        np.asarray(vmapped.u), np.asarray(lanes.u), atol=1e-9 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(vmapped.von_mises),
+        np.asarray(lanes.von_mises),
+        rtol=1e-7,
+    )

@@ -174,3 +174,22 @@ def test_refine_on_without_x64_raises(metadata):
             compile_problem(
                 mesh, bca, metadata, SolverOptions(refine="on", dtype="float32")
             )
+
+
+def test_refine_insensitive_to_inner_cap(metadata):
+    """Refinement converges to the same answer whether the inner cap binds
+    (small cap, more outer passes) or not (one deep inner solve)."""
+    mesh, bca = _plate_case(16, 32)
+    results = []
+    for cap in (25, 400):
+        res = solve_system(
+            mesh, bca, metadata,
+            SolverOptions(
+                dtype="float32", cg_rtol=1e-10, refine="on",
+                refine_inner_iters=cap, refine_max_outer=20,
+            ),
+        )
+        assert res.converged and res.residual_rel <= 1e-10
+        results.append(res.u)
+    scale = np.abs(results[1]).max()
+    assert np.abs(results[0] - results[1]).max() < 1e-9 * scale
