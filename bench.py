@@ -185,49 +185,52 @@ def bench_spmv_roofline(extras, plate):
 
 
 def bench_sweep(extras):
-    """4096 load variants of the tensile plate in one vmapped batched solve
-    (BASELINE.json configs[4])."""
+    """4096 load variants of the tensile plate in one batched solve
+    (BASELINE.json configs[4]): shared-hierarchy multigrid preconditions
+    every lane (~1.4e-6 true relative residual in 20 lockstep iterations;
+    block-Jacobi needed 300+ for 3e-4). Warm batches carry FRESH inputs --
+    the interactive design-exploration serving pattern."""
     from magnetite_tpu.config import ModelMetadata
     from magnetite_tpu.meshing.generators import rect_mesh, tensile_bcs_for_rect
-    from magnetite_tpu.parallel.sweep import sweep_solve
+    from magnetite_tpu.parallel.sweep import compile_sweep
 
     mesh = rect_mesh(64, 32, width=2.0)
     base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
     metadata = ModelMetadata(69e9, 0.33, 0.5, 0.0, 0.05)
     b = 4096
-    rng = np.random.default_rng(0)
-    pulls = rng.uniform(0.005, 0.02, b)
     right = np.isclose(mesh.coords[:, 0], 2.0)
-    u_values = np.tile(base.u_value[None], (b, 1, 1)).astype(np.float32)
-    u_values[:, right, 0] = pulls[:, None].astype(np.float32)
-    f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
-    k_scales = rng.uniform(0.5, 2.0, b)
 
-    # shared-hierarchy multigrid preconditions every lane: ~1.7e-6 true
-    # relative residual in 20 iterations (block-Jacobi needed 300+ for 3e-4)
+    def batch(seed):
+        rng = np.random.default_rng(seed)
+        pulls = rng.uniform(0.005, 0.02, b).astype(np.float32)
+        u_values = np.tile(base.u_value[None], (b, 1, 1)).astype(np.float32)
+        u_values[:, right, 0] = pulls[:, None]
+        f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
+        return u_values, f_values, rng.uniform(0.5, 2.0, b)
+
     iters = 20
     t0 = time.perf_counter()
-    result = sweep_solve(
-        mesh, base, metadata, u_values, f_values, k_scales,
-        iterations=iters, dtype=np.float32,
-    )
+    compiled = compile_sweep(mesh, base, metadata, iterations=iters)
+    u_values, f_values, k_scales = batch(0)
+    result = compiled.solve(u_values, f_values, k_scales)
     float(np.asarray(result.residual_norm[0]))
-    t_total = time.perf_counter() - t0  # includes compile
-    t0 = time.perf_counter()
-    result = sweep_solve(
-        mesh, base, metadata, u_values, f_values, k_scales,
-        iterations=iters, dtype=np.float32,
-    )
-    res_norms = np.asarray(result.residual_norm)
-    rhs_norms = np.asarray(result.rhs_norm)
-    t = time.perf_counter() - t0
+    t_total = time.perf_counter() - t0  # setup + first batch (incl. compile)
+
+    times = []
+    for seed in (1, 2, 3):
+        u_values, f_values, k_scales = batch(seed)
+        t0 = time.perf_counter()
+        result = compiled.solve(u_values, f_values, k_scales)
+        rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
     extras["sweep_variants"] = b
     extras["sweep_iterations"] = iters
     extras["sweep_mesh_elements"] = mesh.num_elements
     extras["sweep_warm_s"] = round(t, 3)
     extras["sweep_solves_per_s"] = round(b / t)
     extras["sweep_first_s"] = round(t_total, 2)
-    extras["sweep_rel_residual_max"] = float((res_norms / rhs_norms).max())
+    extras["sweep_rel_residual_max"] = float(rel.max())
 
 
 def main():

@@ -158,6 +158,58 @@ class MGLevel:
     rows: int
     cols: int
     op: Callable[[jax.Array], jax.Array] = None  # matvec (pre-tiled on TPU)
+    # dense inverse of the whole level operator [2RC, 2RC], node-major
+    # (set on the coarsest level when small): exact coarse-grid solve as one
+    # matmul instead of dozens of smoothing sweeps
+    dense_inv: jax.Array = None
+
+
+# exact coarse solves above this many DOFs would cost more than they save
+_DENSE_COARSE_MAX_DOF = 2048
+
+
+def stencil_to_dense_device(stencil: jax.Array, wrap_cols: bool) -> jax.Array:
+    """Expand [9,2,2,R,C] to a dense (2RC, 2RC) matrix, jit-friendly.
+
+    Node-major DOF order (node*2 + component), matching
+    fem/stencil.stencil_to_dense.
+    """
+    from .stencil import OFFSETS
+
+    _, _, _, rows, cols = stencil.shape
+    n = rows * cols
+    r = jnp.arange(rows)[:, None]
+    c = jnp.arange(cols)[None, :]
+    k = jnp.zeros((n, 2, n, 2), dtype=stencil.dtype)
+    for s, (dr, dt) in enumerate(OFFSETS):
+        r2 = jnp.broadcast_to(r + dr, (rows, cols))
+        c2 = jnp.broadcast_to(c + dt, (rows, cols))
+        valid = (r2 >= 0) & (r2 < rows)
+        if wrap_cols:
+            c2 = c2 % cols
+        else:
+            valid = valid & (c2 >= 0) & (c2 < cols)
+            c2 = jnp.clip(c2, 0, cols - 1)
+        row_flat = (r * cols + c + jnp.zeros_like(c2)).reshape(-1)
+        col_flat = (jnp.clip(r2, 0, rows - 1) * cols + c2).reshape(-1)
+        vals = stencil[s].transpose(2, 3, 0, 1).reshape(n, 2, 2)
+        vals = vals * valid.reshape(-1)[:, None, None].astype(stencil.dtype)
+        k = k.at[row_flat, :, col_flat, :].add(vals)
+    return k.reshape(2 * n, 2 * n)
+
+
+def dense_coarse_inverse(stencil: jax.Array, wrap_cols: bool) -> jax.Array:
+    """Inverse of the (SPD, BC-reduced) level operator for exact coarse
+    solves; computed once per hierarchy build."""
+    return jnp.linalg.inv(stencil_to_dense_device(stencil, wrap_cols))
+
+
+def apply_dense_inverse(dense_inv: jax.Array, r: jax.Array) -> jax.Array:
+    """Exact coarse solve on a [2, R, C] field (node-major flattening)."""
+    two, rows, cols = r.shape
+    r_flat = r.transpose(1, 2, 0).reshape(-1)
+    e = jnp.matmul(dense_inv, r_flat, precision="highest")
+    return e.reshape(rows, cols, 2).transpose(2, 0, 1)
 
 
 def _center_inverse(stencil: jax.Array) -> jax.Array:
@@ -216,6 +268,11 @@ def build_hierarchy(
             )
         )
         rows, cols = rc, cc
+    # exact coarse solve: one dense inverse of the coarsest operator
+    # replaces dozens of smoothing sweeps per V-cycle
+    last = levels[-1]
+    if len(levels) > 1 and 2 * last.rows * last.cols <= _DENSE_COARSE_MAX_DOF:
+        last.dense_inv = dense_coarse_inverse(last.stencil, wrap_cols)
     return levels
 
 
@@ -250,6 +307,8 @@ def vcycle_preconditioner(
         level = levels[l]
         zero = jnp.zeros_like(r)
         if l == len(levels) - 1:
+            if level.dense_inv is not None:
+                return apply_dense_inverse(level.dense_inv, r)
             return _smooth(level, wrap_cols, zero, r, coarse_sweeps, omega)
         e = _smooth(level, wrap_cols, zero, r, pre_sweeps, omega)
         res = r - level.op(e)

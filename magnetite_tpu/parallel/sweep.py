@@ -26,6 +26,7 @@ Fixed-iteration PCG keeps all lanes in lockstep.
 
 from __future__ import annotations
 
+from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple
 
@@ -300,9 +301,20 @@ def _lane_dinv(diag_inv, r):
     )
 
 
+def _lane_dense_coarse(dense_inv, r):
+    """Exact coarse solve for all lanes at once: one MXU matmul
+    [2RC, 2RC] x [2RC, B] (node-major flattening)."""
+    two, rows, cols, b = r.shape
+    r_flat = r.transpose(1, 2, 0, 3).reshape(rows * cols * 2, b)
+    e = jnp.matmul(dense_inv, r_flat, precision="highest")
+    return e.reshape(rows, cols, 2, b).transpose(2, 0, 1, 3)
+
+
 def _lane_vcycle(levels, wrap, pre=2, post=2, coarse_sweeps=48, omega=0.7):
     """V-cycle over lane-batched fields sharing ONE hierarchy: the variants
-    differ only by the scale s_b, and V(s_b K) = (1/s_b) V(K) exactly."""
+    differ only by the scale s_b, and V(s_b K) = (1/s_b) V(K) exactly.
+    The coarsest level solves exactly via the hierarchy's dense inverse
+    (one matmul over all lanes) when available."""
 
     def smooth(level, e, r, sweeps):
         for _ in range(sweeps):
@@ -314,6 +326,8 @@ def _lane_vcycle(levels, wrap, pre=2, post=2, coarse_sweeps=48, omega=0.7):
         level = levels[l]
         zero = jnp.zeros_like(r)
         if l == len(levels) - 1:
+            if level.dense_inv is not None:
+                return _lane_dense_coarse(level.dense_inv, r)
             return smooth(level, zero, r, coarse_sweeps)
         e = smooth(level, zero, r, pre)
         res = r - _lane_stencil_matvec(level.stencil, e, wrap)
@@ -329,11 +343,19 @@ def _lane_grid_dot(a, b):
     return jnp.sum(a * b, axis=(0, 1, 2))
 
 
-@partial(jax.jit, static_argnames=("rows", "cols", "wrap", "iterations"))
-def _stencil_lanes_jit(
-    coords, tris, free_g, u_values, f_values, k_scales, e_mod, nu, t,
-    rows, cols, wrap, iterations,
-):
+class _LaneLevel(NamedTuple):
+    """Array-only multigrid level (pytree-safe across jit boundaries)."""
+
+    stencil: jax.Array
+    diag_inv: jax.Array
+    dense_inv: jax.Array = None
+
+
+@partial(jax.jit, static_argnames=("rows", "cols", "wrap"))
+def _stencil_sweep_setup(coords, tris, free_g, e_mod, nu, t, rows, cols, wrap):
+    """One-time per-mesh work: assembly, BC reduction, multigrid hierarchy,
+    stress-recovery matrices. Returned as plain arrays so the per-batch
+    solve jit can consume them without redoing any of it."""
     from ..fem.element import (
         element_areas,
         gather_element_coords,
@@ -344,15 +366,31 @@ def _stencil_lanes_jit(
     from ..fem.multigrid import build_hierarchy
     from ..fem.stencil import assemble_stencil_structured
 
+    raw = assemble_stencil_structured(coords, e_mod, nu, t, rows, cols, wrap)
+    reduced = _reduce_stencil(raw, free_g, wrap)
+    levels = tuple(
+        _LaneLevel(lv.stencil, lv.diag_inv, lv.dense_inv)
+        for lv in build_hierarchy(reduced, free_g, wrap)
+    )
+    ecoords = gather_element_coords(coords, tris)
+    areas = element_areas(ecoords)
+    b_mat = strain_displacement_matrices(ecoords, areas)
+    d_mat = stress_strain_matrix(e_mod, nu, dtype=coords.dtype)
+    return raw, reduced, levels, b_mat, d_mat
+
+
+@partial(jax.jit, static_argnames=("rows", "cols", "wrap", "iterations"))
+def _stencil_lanes_jit(
+    setup, tris, free_g, u_values, f_values, k_scales,
+    rows, cols, wrap, iterations,
+):
+    raw, reduced, levels, b_mat, d_mat = setup
+
     # lane layout transform on device ([B,N,2] -> [2,R,C,B]); doing this on
     # host costs a 140 MB numpy transpose + copy per call
     b = u_values.shape[0]
     u_fixed = u_values.transpose(2, 1, 0).reshape(2, rows, cols, b)
     f_applied = f_values.transpose(2, 1, 0).reshape(2, rows, cols, b)
-
-    raw = assemble_stencil_structured(coords, e_mod, nu, t, rows, cols, wrap)
-    reduced = _reduce_stencil(raw, free_g, wrap)
-    levels = build_hierarchy(reduced, free_g, wrap)
 
     free_b = free_g[..., None]  # [2, R, C, 1]
     inv_scale = free_b / k_scales + (1.0 - free_b)
@@ -385,10 +423,6 @@ def _stencil_lanes_jit(
     res_norm = jnp.sqrt(_lane_grid_dot(res_true, res_true))
 
     # stress recovery per lane: sigma = s_b * D B u_b
-    ecoords = gather_element_coords(coords, tris)
-    areas = element_areas(ecoords)
-    b_mat = strain_displacement_matrices(ecoords, areas)
-    d_mat = stress_strain_matrix(e_mod, nu, dtype=coords.dtype)
     u_flat = result.x.reshape(2, rows * cols, b)
     ue = u_flat[:, tris, :]  # [2, E, 3, B]
     ue = ue.transpose(1, 2, 0, 3).reshape(tris.shape[0], 6, -1)
@@ -411,38 +445,89 @@ def _stencil_lanes_jit(
     )
 
 
-def _sweep_stencil_lanes(
-    mesh, base_bca, metadata, u_values, f_values, k_scales, iterations, dtype
-):
-    """Lane-batched sweep on the stencil operator with a SHARED multigrid
-    hierarchy: one V-cycle preconditions all 4096 variants at once, so the
-    fixed iteration budget drops from hundreds (block-Jacobi) to ~15."""
+@dataclass
+class CompiledSweep:
+    """A mesh compiled for repeated design-sweep batches.
+
+    Setup (assembly, BC reduction, multigrid hierarchy incl. the dense
+    coarse inverse, stress matrices) runs once and stays device-resident;
+    `solve(u_values, f_values, k_scales)` only pays the batched CG -- the
+    serving pattern for interactive design exploration."""
+
+    setup: tuple
+    tris: jax.Array
+    free_g: jax.Array
+    rows: int
+    cols: int
+    wrap: bool
+    iterations: int
+    dtype: object
+
+    def solve(self, u_values, f_values, k_scales) -> SweepResult:
+        u, res, vm, rhs_norm = _stencil_lanes_jit(
+            self.setup,
+            self.tris,
+            self.free_g,
+            jnp.asarray(u_values, dtype=self.dtype),
+            jnp.asarray(f_values, dtype=self.dtype),
+            jnp.asarray(k_scales, dtype=self.dtype),
+            self.rows,
+            self.cols,
+            self.wrap,
+            self.iterations,
+        )
+        return SweepResult(
+            u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
+        )
+
+
+def compile_sweep(
+    mesh, base_bca, metadata, iterations: int = 20, dtype=np.float32
+) -> CompiledSweep:
+    """Build a CompiledSweep for a coarsenable canonical-grid mesh."""
+    from ..fem.multigrid import can_coarsen
     from ..fem.solve import _grid
 
+    if mesh.grid_shape is None or not mesh.canonical_grid:
+        raise ValueError("compile_sweep needs a canonical grid mesh")
     rows, cols = mesh.grid_shape
+    if not can_coarsen(rows, cols, mesh.wrap_cols):
+        raise ValueError("grid cannot coarsen; use sweep_solve's DIA path")
     wrap = mesh.wrap_cols
     coords = jnp.asarray(mesh.coords, dtype=dtype)
     tris = jnp.asarray(mesh.tris)
     free_g = _grid(jnp.asarray(~base_bca.u_known, dtype=dtype), rows, cols)
-
-    u, res, vm, rhs_norm = _stencil_lanes_jit(
+    setup = _stencil_sweep_setup(
         coords,
         tris,
         free_g,
-        jnp.asarray(u_values, dtype=dtype),
-        jnp.asarray(f_values, dtype=dtype),
-        jnp.asarray(k_scales, dtype=dtype),
         jnp.asarray(metadata.youngs_modulus, dtype=dtype),
         jnp.asarray(metadata.poisson_ratio, dtype=dtype),
         jnp.asarray(metadata.part_thickness, dtype=dtype),
         rows,
         cols,
         wrap,
-        int(iterations),
     )
-    return SweepResult(
-        u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
+    return CompiledSweep(
+        setup=jax.block_until_ready(setup),
+        tris=tris,
+        free_g=free_g,
+        rows=rows,
+        cols=cols,
+        wrap=wrap,
+        iterations=int(iterations),
+        dtype=dtype,
     )
+
+
+def _sweep_stencil_lanes(
+    mesh, base_bca, metadata, u_values, f_values, k_scales, iterations, dtype
+):
+    """Lane-batched sweep on the stencil operator with a SHARED multigrid
+    hierarchy: one V-cycle preconditions all 4096 variants at once, so the
+    fixed iteration budget drops from hundreds (block-Jacobi) to ~15."""
+    compiled = compile_sweep(mesh, base_bca, metadata, iterations, dtype)
+    return compiled.solve(u_values, f_values, k_scales)
 
 
 # ------------------------------ vmap path ---------------------------------

@@ -200,3 +200,56 @@ def test_can_coarsen_rules():
     assert not can_coarsen(16, 33, False)  # even rows
     assert can_coarsen(17, 32, True)
     assert not can_coarsen(17, 20, True)  # 10 % 4 != 0
+
+
+def test_dense_expansion_matches_reference(metadata):
+    """jit-friendly dense expansion == the numpy testing version."""
+    import jax.numpy as jnp
+    from magnetite_tpu.fem.multigrid import stencil_to_dense_device
+    from magnetite_tpu.fem.stencil import (
+        assemble_stencil_fused,
+        stencil_to_dense,
+    )
+    from magnetite_tpu.meshing.generators import plate_with_hole_mesh, rect_mesh
+
+    for mesh in (plate_with_hole_mesh(5, 8), rect_mesh(5, 4)):
+        rows, cols = mesh.grid_shape
+        st = assemble_stencil_fused(
+            jnp.asarray(mesh.coords), jnp.asarray(mesh.tris),
+            69e9, 0.33, 0.5, rows, cols, mesh.wrap_cols,
+        )
+        dense_np = stencil_to_dense(np.asarray(st), mesh.wrap_cols)
+        dense_dev = np.asarray(
+            stencil_to_dense_device(st, mesh.wrap_cols)
+        )
+        np.testing.assert_allclose(dense_dev, dense_np, atol=1e-6 * np.abs(dense_np).max())
+
+
+def test_dense_coarse_solve_is_exact(metadata):
+    """Coarsest-level dense inverse solves A e = r to machine precision."""
+    import jax.numpy as jnp
+    from magnetite_tpu.fem.multigrid import apply_dense_inverse, build_hierarchy
+    from magnetite_tpu.fem.solve import _grid, _reduce_stencil
+    from magnetite_tpu.fem.stencil import assemble_stencil_fused
+    from magnetite_tpu.meshing.generators import plate_with_hole_mesh
+
+    mesh = plate_with_hole_mesh(32, 32)
+    rows, cols = mesh.grid_shape
+    n = mesh.num_nodes
+    u_known = np.zeros((n, 2), dtype=bool)
+    u_known[np.isclose(mesh.coords[:, 0], mesh.coords[:, 0].min())] = True
+    free = _grid(jnp.asarray(~u_known, jnp.float64), rows, cols)
+    raw = assemble_stencil_fused(
+        jnp.asarray(mesh.coords), jnp.asarray(mesh.tris),
+        69e9, 0.33, 0.5, rows, cols, True,
+    )
+    reduced = _reduce_stencil(raw, free, True)
+    levels = build_hierarchy(reduced, free, True)
+    last = levels[-1]
+    assert last.dense_inv is not None
+
+    rng = np.random.default_rng(0)
+    r = jnp.asarray(rng.standard_normal((2, last.rows, last.cols)))
+    e = apply_dense_inverse(last.dense_inv, r)
+    back = np.asarray(last.op(e))
+    np.testing.assert_allclose(back, np.asarray(r), rtol=1e-8, atol=1e-8 * np.abs(np.asarray(r)).max())
