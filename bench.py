@@ -42,7 +42,8 @@ def _time_device_solve(problem, repeats):
         out = problem.solve_device()
         _sync_scalar(out)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)), out
+    # min: the tunnel's per-dispatch latency jitter only ever adds time
+    return float(np.min(times)), out
 
 
 def _plate_problem(nr, nt):
@@ -77,7 +78,7 @@ def bench_linkedin(extras):
         mesh, bca, sim.metadata,
         SolverOptions(dtype="float32", cg_rtol=1e-6),
     )
-    t, out = _time_device_solve(problem, repeats=5)
+    t, out = _time_device_solve(problem, repeats=9)
     extras["linkedin_nodes"] = mesh.num_nodes
     extras["linkedin_elements"] = mesh.num_elements
     extras["linkedin_cg_iters"] = int(np.asarray(out[5]))
@@ -174,7 +175,8 @@ def bench_spmv_roofline(extras, plate):
         return min(ts)
 
     bytes_per_mv = (36 + 2 + 2) * rows * cols * 4
-    l1, l2 = 40, 200
+    # long chains so the slope dwarfs per-dispatch jitter (~tens of ms)
+    l1, l2 = 100, 700
     t_pallas = (chain_time("auto", l2) - chain_time("auto", l1)) / (l2 - l1)
     gbps = bytes_per_mv / t_pallas / 1e9
     extras["spmv_ms"] = round(t_pallas * 1e3, 4)
@@ -217,13 +219,13 @@ def bench_sweep(extras):
     t_total = time.perf_counter() - t0  # setup + first batch (incl. compile)
 
     times = []
-    for seed in (1, 2, 3):
+    for seed in (1, 2, 3, 4):
         u_values, f_values, k_scales = batch(seed)
         t0 = time.perf_counter()
         result = compiled.solve(u_values, f_values, k_scales)
         rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
         times.append(time.perf_counter() - t0)
-    t = float(np.median(times))
+    t = float(np.min(times))  # min: tunnel hiccups only ever add time
     extras["sweep_variants"] = b
     extras["sweep_iterations"] = iters
     extras["sweep_mesh_elements"] = mesh.num_elements
