@@ -221,3 +221,50 @@ def test_vmap_sweep_fallback_matches_lanes(metadata):
         np.asarray(lanes.von_mises),
         rtol=1e-7,
     )
+
+
+def test_sharded_2d_batch_sweep_matches_individual(metadata):
+    """Batch x rows sharding over a 2D device mesh (dp x sp analog):
+    every lane of the sharded sweep matches a single-device solve."""
+    from magnetite_tpu.bc import BCArrays
+    from magnetite_tpu.parallel.sharding import sharded_batch_pcg_solve
+
+    devices = jax.devices()
+    assert len(devices) >= 8
+    device_mesh = jax.make_mesh((2, 4), ("batch", "rows"))
+
+    mesh = rect_mesh(9, 5, width=2.0)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    problem = prepare_sharded_problem(
+        mesh, base, metadata, device_mesh, axis="rows", dtype=np.float64
+    )
+
+    b_lanes = 4
+    n_pad = problem.free.shape[0]
+    scales = 1.0 + np.arange(b_lanes)
+    u_fixed = np.tile(np.asarray(problem.u_fixed)[None], (b_lanes, 1, 1))
+    u_fixed *= scales[:, None, None]
+    f_applied = np.zeros((b_lanes, n_pad, 2))
+
+    u_batch = np.asarray(
+        sharded_batch_pcg_solve(
+            problem,
+            jax.numpy.asarray(u_fixed),
+            jax.numpy.asarray(f_applied),
+            iterations=400,
+        )
+    )
+
+    for i in range(b_lanes):
+        bca_i = BCArrays(
+            u_known=base.u_known,
+            u_value=base.u_value * scales[i],
+            f_value=np.zeros_like(base.f_value),
+        )
+        ref = solve_system(
+            mesh, bca_i, metadata, SolverOptions(cg_rtol=1e-11)
+        )
+        scale = np.abs(ref.u).max()
+        np.testing.assert_allclose(
+            u_batch[i, : mesh.num_nodes], ref.u, atol=1e-8 * scale
+        )
