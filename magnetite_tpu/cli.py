@@ -145,11 +145,16 @@ def entry(argv=None) -> None:
             from .persist import load_case
 
             with stage("load-case"):
-                mesh, bca, _, _ = load_case(args.load_case)
+                mesh, bca, case_md, structure = load_case(args.load_case)
             log(
                 f"info: resumed case from {args.load_case} "
                 f"({mesh.num_nodes} nodes, {mesh.num_elements} elements)"
             )
+            if case_md is not None and case_md != sim.metadata:
+                log(
+                    "warning: checkpoint metadata differs from the input "
+                    "JSON; solving with the input JSON's material properties"
+                )
         else:
             if not args.geometry_files:
                 from .errors import InputError
@@ -165,6 +170,7 @@ def entry(argv=None) -> None:
                     options=options,
                     log=log,
                 )
+            structure = None
         if args.save_case:
             from .persist import save_case
 
@@ -172,7 +178,11 @@ def entry(argv=None) -> None:
                 save_case(args.save_case, mesh, bca, metadata=sim.metadata)
             log(f"info: checkpointed case to {args.save_case}")
         with stage("solve"):
-            result = solve_system(mesh, bca, sim.metadata, options)
+            # `structure` is the checkpoint's block-ELL sparsity when
+            # resuming (skips the expensive host structure rebuild)
+            result = solve_system(
+                mesh, bca, sim.metadata, options, structure=structure
+            )
         log(
             f"info: finished conjugate gradient in {result.iterations} "
             f"iterations (residual {result.residual_norm:.3e})"

@@ -98,10 +98,10 @@ def pcg(
         p = z + beta * p
         rnorm2 = dot(r, r)
         if history:
+            # no write once k >= history (arange never matches): the trace
+            # holds the FIRST `history` residuals, per the CGResult contract
             hist = jnp.where(
-                (jnp.arange(history) == jnp.minimum(k, history - 1)),
-                jnp.sqrt(rnorm2),
-                hist,
+                jnp.arange(history) == k, jnp.sqrt(rnorm2), hist
             )
         if progress_every:
             jax.lax.cond(

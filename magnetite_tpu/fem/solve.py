@@ -3,7 +3,8 @@
 Host/device split (the TPU-first layering of reference src/solver.rs:543-586):
   host:   operator-format selection + (for irregular meshes) sparsity
           structure build; structured-grid meshes build their scatter
-          pattern ON DEVICE from connectivity (stencil_slot_ids_device)
+          pattern ON DEVICE from connectivity (assemble_stencil_fused
+          computes pair slots inline from the resident tris array)
   device: ONE jitted function doing batched element stiffness (einsum),
           segment_sum assembly, preconditioned CG (optionally f64/f32
           mixed-precision iterative refinement), force + stress recovery.
@@ -714,7 +715,16 @@ def compile_problem(
     ):
         refine = True
     if not refine and dtype == np.float32:
-        rtol = max(rtol, _f32_rtol_floor())
+        floor = _f32_rtol_floor()
+        if rtol < floor:
+            from ..utils.logging import log
+
+            log(
+                f"warning: requested cg_rtol {rtol:.1e} is below the f32 "
+                f"floor; clamping to {floor:.1e} (use refine='on' / CLI "
+                "--precision mixed for f64-grade residuals)"
+            )
+        rtol = max(rtol, floor)
 
     preconditioner = options.preconditioner
     if preconditioner == "auto":

@@ -63,28 +63,6 @@ def build_stencil_structure(
     )
 
 
-def stencil_slot_ids_device(
-    tris: jax.Array, rows: int, cols: int, wrap_cols: bool
-) -> jax.Array:
-    """Scatter pattern computed ON DEVICE from connectivity (int32, [E*9]).
-
-    Closed form of `build_stencil_structure`'s slot_ids without the host
-    locality check -- for meshes flagged `grid_local` by their producer.
-    At 1M elements this replaces a 75 MB host->device slot_ids upload with
-    a few int ops on the already-resident tris array.
-    """
-    tris = tris.astype(jnp.int32)
-    a = jnp.repeat(tris, 3, axis=1).reshape(-1)  # row node of each pair
-    b = jnp.tile(tris, (1, 3)).reshape(-1)  # col node
-    dr = b // cols - a // cols
-    dt = b % cols - a % cols
-    if wrap_cols:
-        dt = jnp.where(dt > cols // 2, dt - cols, dt)
-        dt = jnp.where(dt < -(cols // 2), dt + cols, dt)
-    s_idx = (dr + 1) * 3 + (dt + 1)
-    return s_idx * (rows * cols) + a
-
-
 def assemble_stencil(
     ke: jax.Array, slot_ids, rows: int, cols: int
 ) -> jax.Array:

@@ -112,7 +112,6 @@ def triangulate(
     keep = points_in_domain(centroids, outer, holes)
     tris = tris[keep]
     # drop degenerate slivers (zero area after filtering)
-    mesh0 = Mesh(coords=points, tris=tris)
     areas = np.abs(signed_areas(points, tris))
     tris = tris[areas > 1e-12 * max(areas.max(), 1.0)]
 

@@ -7,7 +7,9 @@ gracefully to the numpy implementations when the shared library is missing
 or the toolchain can't build it (`MAGNETITE_NO_NATIVE=1` disables
 explicitly).
 
-Build: `make -C native` (done automatically on first use when g++ exists).
+Build: `make -C magnetite_tpu/_native` (done automatically on first use
+when g++ exists). The C++ sources + Makefile ship as package data, so
+installed copies self-build too (read-only site-packages degrade to numpy).
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ from typing import Optional
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "_native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libmagnetite_native.so")
 
 _lib = None

@@ -658,6 +658,10 @@ def sweep_solve(
                 "mesh is not a coarsenable canonical grid; stencil sweep "
                 "unavailable"
             )
+    elif impl == "stencil":
+        raise ValueError(
+            "mesh has no grid_shape; stencil sweep unavailable"
+        )
     if impl in ("auto", "lanes"):
         dia = build_dia_structure(mesh.tris, mesh.num_nodes)
         if dia is not None:

@@ -46,6 +46,7 @@ def save_case(
         ),
         "wrap_cols": np.bool_(mesh.wrap_cols),
         "grid_local": np.bool_(mesh.grid_local),
+        "canonical_grid": np.bool_(mesh.canonical_grid),
         "u_known": bca.u_known,
         "u_value": bca.u_value,
         "f_value": bca.f_value,
@@ -88,6 +89,9 @@ def load_case(
         grid_shape=None if gs[0] < 0 else (int(gs[0]), int(gs[1])),
         wrap_cols=bool(data["wrap_cols"]),
         grid_local=bool(data["grid_local"]),
+        # absent in pre-round-3 checkpoints: default False (safe -- only
+        # disables the scatter-free assembly / stencil-sweep fast paths)
+        canonical_grid=bool(data.get("canonical_grid", False)),
     )
     mesh.validate()
     bca = BCArrays(

@@ -34,10 +34,36 @@ def test_pcg_history_shorter_than_iterations():
     a, b = _spd_system()
     res = pcg(lambda v: a @ v, b, rtol=1e-10, history=4)
     assert np.asarray(res.history).shape == (4,)
-    # last slot holds the most recent residual
+    # a short trace holds the FIRST 4 iterations' residuals (not the last)
+    full = pcg(lambda v: a @ v, b, rtol=1e-10, history=64)
     np.testing.assert_allclose(
-        np.asarray(res.history)[-1], float(res.residual_norm), rtol=1e-6
+        np.asarray(res.history), np.asarray(full.history)[:4], rtol=1e-12
     )
+
+
+def test_f32_rtol_clamp_warns(capsys):
+    """Unreachable f32 tolerances log a warning naming the mixed-precision
+    escape hatch (silent accuracy downgrades are invisible otherwise)."""
+    from magnetite_tpu.config import ModelMetadata
+    from magnetite_tpu.meshing.core import Mesh
+
+    grid = rect_mesh(6, 9)
+    mesh = Mesh(coords=grid.coords, tris=grid.tris)  # no grid_shape: DIA path
+    bca = tensile_bcs_for_rect(grid.coords, pull=0.01)
+    md = ModelMetadata(
+        youngs_modulus=69e9,
+        poisson_ratio=0.33,
+        part_thickness=0.5,
+        characteristic_length_min=0.0,
+        characteristic_length_max=1.0,
+    )
+    solve_system(
+        mesh, bca, md, SolverOptions(dtype="float32", cg_rtol=1e-12)
+    )
+    captured = capsys.readouterr()
+    out = captured.out + captured.err
+    assert "warning:" in out and "clamping" in out
+    assert "mixed" in out
 
 
 def test_pcg_progress_callback_streams(capfd):

@@ -35,6 +35,9 @@ def test_roundtrip_mesh_bcs_structure(tmp_path, metadata):
     assert m2.grid_shape == mesh.grid_shape
     assert m2.wrap_cols == mesh.wrap_cols
     assert m2.grid_local == mesh.grid_local
+    # canonical_grid must survive the round trip (it gates scatter-free
+    # structured assembly and compile_sweep eligibility)
+    assert mesh.canonical_grid and m2.canonical_grid
     np.testing.assert_array_equal(b2.u_known, bca.u_known)
     np.testing.assert_array_equal(b2.u_value, bca.u_value)
     np.testing.assert_array_equal(b2.f_value, bca.f_value)

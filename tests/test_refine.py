@@ -127,23 +127,6 @@ def test_structured_assembly_matches_fused():
         )
 
 
-def test_device_slot_ids_match_host_builder():
-    from magnetite_tpu.fem.stencil import (
-        build_stencil_structure,
-        stencil_slot_ids_device,
-    )
-
-    for mesh in (plate_with_hole_mesh(9, 16), rect_mesh(7, 11)):
-        rows, cols = mesh.grid_shape
-        host = build_stencil_structure(mesh.tris, rows, cols, mesh.wrap_cols)
-        dev = np.asarray(
-            stencil_slot_ids_device(
-                jnp.asarray(mesh.tris), rows, cols, mesh.wrap_cols
-            )
-        )
-        np.testing.assert_array_equal(dev, host.slot_ids)
-
-
 def test_generator_meshes_marked_grid_local():
     assert plate_with_hole_mesh(4, 8).grid_local
     assert rect_mesh(4, 4).grid_local
