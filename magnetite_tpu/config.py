@@ -87,9 +87,17 @@ class SolverOptions:
     # we default to a relative tolerance far tighter for accuracy.
     cg_rtol: float = 1e-10
     cg_atol: float = 0.0
-    # "auto" = geometric multigrid on large structured grids, block-Jacobi
-    # otherwise. Explicit: "none" | "jacobi" | "block_jacobi" | "multigrid".
+    # "auto" = geometric multigrid on large structured grids, smoothed-
+    # aggregation AMG on large unstructured meshes, block-Jacobi otherwise.
+    # Explicit: "none" | "jacobi" | "block_jacobi" | "multigrid" | "amg".
     preconditioner: str = "auto"
+    # Unstructured meshes below this node count keep block-Jacobi under
+    # preconditioner="auto" (the AMG hierarchy build is a host-side setup
+    # cost that only pays off once iteration counts grow into the hundreds).
+    amg_auto_min_nodes: int = 20_000
+    # Aggregate diameter in median-edge-lengths (~cell_factor^2 nodes per
+    # aggregate); 3.0 is the standard SA sweet spot.
+    amg_cell_factor: float = 3.0
     # Scalar-stress sign threshold. The reference flips the sign when
     # sigma_x + sigma_y < 1.0 (src/solver.rs:524-530) -- a quirk we keep as
     # the default for output parity; set to 0.0 for the physical rule.
@@ -103,6 +111,11 @@ class SolverOptions:
     # (gather SpMV). "dia"/"ell" force a format.
     operator: str = "auto"
     max_diags: int = 48
+    # Node renumbering for band-friendly sparsity (meshing/reorder.py):
+    # "auto" renumbers when the mesh's native ordering would miss the DIA
+    # band format; "geometric"/"rcm" force one ordering; "off" disables.
+    # Results are always reported in the caller's original node order.
+    renumber: str = "auto"
     # Dense direct solve below this many nodes (fast + exact for tiny meshes).
     dense_cutoff: int = 0
     dtype: Optional[str] = None  # None = f64 if x64 enabled else f32

@@ -1,0 +1,626 @@
+"""Smoothed-aggregation algebraic multigrid for unstructured meshes.
+
+The geometric multigrid in fem/multigrid.py needs a logical (rows, cols)
+grid; meshes from the Delaunay/gmsh front-ends (the reference's primary
+path, src/mesher.rs:939-974) have none, and block-Jacobi PCG iteration
+counts on them grow O(1/h) -- ~3.5k iterations at 1M elements. This module
+restores mesh-independent convergence for ANY triangle mesh.
+
+Smoothed aggregation (Vanek/Mandel/Brezina):
+  * aggregate nodes into spatially compact groups (geometric cell binning --
+    both built-in mesh producers emit quasi-uniform meshes, so fixed-size
+    cells of ~3 median edge lengths give ~9-node aggregates; fully
+    vectorized, no sequential greedy pass)
+  * tentative prolongator P0 from the elasticity near-nullspace (the three
+    2D rigid-body modes  [1,0,-y], [0,1,x]  per node), orthonormalized per
+    aggregate by batched QR; the R factors become the coarse-level
+    near-nullspace, so every level keeps 3x3 node blocks
+  * smoothed prolongator P = (I - omega D^-1 A) P0 with
+    omega = 4/3 / rho(D^-1 A) (power-iteration estimate)
+  * Galerkin coarse operators A_{l+1} = P^T A_l P, computed on host with
+    chunked sort+reduce block-COO products (vectorized numpy; the setup is
+    a one-time host cost, cacheable with the mesh)
+
+TPU-first split: ALL setup runs on host in numpy (irregular, data-dependent
+-- exactly what XLA is bad at); the V-cycle apply is a pure jitted function
+over padded block-ELL arrays (static shapes, gather + einsum + segment-free
+FMAs). Level 0 smoothing rides the injected fast operator (DIA/hybrid band
+matvec), so the dominant per-iteration cost stays on the roll/FMA path.
+
+The cycle is symmetric (matched damped block-Jacobi pre/post sweeps,
+adjoint transfers), hence a valid SPD preconditioner for CG.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MatVec = Callable[[jax.Array], jax.Array]
+
+# exact coarsest solves above this are slower than extra smoothing
+_DENSE_COARSE_MAX_DOF = 3072
+
+
+# ============================ host setup ====================================
+
+
+def _element_stiffness_np(coords, tris, e_mod, nu, t):
+    """Numpy mirror of fem/element.element_stiffness_matrices (host setup
+    needs numeric A without a device round-trip). ke = B^T D B * A * t."""
+    p = coords[tris]  # [E,3,2]
+    x, y = p[..., 0], p[..., 1]
+    areas = 0.5 * (
+        x[:, 0] * (y[:, 1] - y[:, 2])
+        + x[:, 1] * (y[:, 2] - y[:, 0])
+        + x[:, 2] * (y[:, 0] - y[:, 1])
+    )
+    beta = np.stack(
+        [y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=-1
+    )
+    gamma = np.stack(
+        [x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=-1
+    )
+    zero = np.zeros_like(beta)
+    row0 = np.stack([beta, zero], axis=-1).reshape(-1, 6)
+    row1 = np.stack([zero, gamma], axis=-1).reshape(-1, 6)
+    row2 = np.stack([gamma, beta], axis=-1).reshape(-1, 6)
+    b = np.stack([row0, row1, row2], axis=-2) / (2.0 * areas)[:, None, None]
+    d = np.array(
+        [[1.0, nu, 0.0], [nu, 1.0, 0.0], [0.0, 0.0, (1.0 - nu) / 2.0]]
+    ) * (e_mod / (1.0 - nu * nu))
+    # batched matmul (BLAS) rather than c_einsum: ~3x on the setup hot path
+    db = np.matmul(d, b)
+    ke = np.matmul(b.transpose(0, 2, 1), db)
+    return ke * (areas * t)[:, None, None]
+
+
+# Device offload threshold for setup products. The one-time setup stays on
+# host by default: with a network-tunneled TPU every eager dispatch pays a
+# round trip, which measured far slower than single-core numpy. Kept as a
+# knob for locally-attached accelerators.
+_DEVICE_MIN = float("inf")
+
+
+def _mm(a, b):
+    """Batched block matmul (device offload above _DEVICE_MIN items)."""
+    if a.size + b.size >= _DEVICE_MIN:
+        return np.asarray(jnp.matmul(jnp.asarray(a), jnp.asarray(b)))
+    return np.matmul(a, b)
+
+
+def _reduce_block_coo(keys, vals):
+    """Sum duplicate keys: sorted unique keys + reduced block values."""
+    order = np.argsort(keys)
+    sk = keys[order]
+    first = np.ones(sk.size, dtype=bool)
+    first[1:] = sk[1:] != sk[:-1]
+    starts = np.flatnonzero(first)
+    shape = vals.shape[1:]
+    out = np.add.reduceat(
+        vals.reshape(vals.shape[0], -1)[order], starts, axis=0
+    )
+    return sk[starts], out.reshape(-1, *shape)
+
+
+def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
+    """BC-masked global stiffness in block-COO, rows sorted.
+
+    Rides the solver's ELL structure builder (native C++ when available) and
+    bincount scatter instead of a 9E-entry argsort. ELL padding slots emit
+    zero blocks at (n, n) -- duplicate diagonal keys with zero values, which
+    every consumer (matvecs, RAP products, diag extraction via add.at)
+    treats additively. free: [N,2] float mask (1 = unknown DOF)."""
+    from .assembly import build_ell_structure
+
+    n = coords.shape[0]
+    s = build_ell_structure(tris, n)
+    e = tris.shape[0]
+    tris64 = tris.astype(np.int64)
+    erows = np.repeat(tris64, 3, axis=1).reshape(-1)
+    ecols = np.tile(tris64, (1, 3)).reshape(-1)
+    if e * 9 >= _DEVICE_MIN:
+        # device path: batched stiffness einsum + one segment_sum
+        from .assembly import element_blocks
+        from .element import element_stiffness_matrices
+
+        ke = element_stiffness_matrices(
+            jnp.asarray(coords, dtype=jnp.float64),
+            jnp.asarray(tris, dtype=jnp.int32),
+            float(e_mod),
+            float(nu),
+            float(t),
+        )
+        free_d = jnp.asarray(free, dtype=jnp.float64)
+        blocks = (
+            element_blocks(ke)
+            * free_d[jnp.asarray(erows)][:, :, None]
+            * free_d[jnp.asarray(ecols)][:, None, :]
+        )
+        flat = np.asarray(
+            jax.ops.segment_sum(
+                blocks.reshape(-1, 4),
+                jnp.asarray(s.slot_ids.astype(np.int64)),
+                num_segments=n * s.width,
+            )
+        )
+    else:
+        ke = _element_stiffness_np(coords, tris, e_mod, nu, t)
+        blocks = ke.reshape(e, 3, 2, 3, 2).transpose(0, 1, 3, 2, 4).reshape(-1, 4)
+        mask = (free[erows][:, :, None] * free[ecols][:, None, :]).reshape(-1, 4)
+        blocks = blocks * mask
+        flat = np.empty((n * s.width, 4))
+        ids = s.slot_ids.astype(np.int64)
+        for c in range(4):
+            flat[:, c] = np.bincount(
+                ids, weights=blocks[:, c], minlength=n * s.width
+            )
+    rows = np.repeat(np.arange(n, dtype=np.int64), s.width)
+    cols = s.cols.reshape(-1).astype(np.int64)
+    return rows, cols, flat.reshape(-1, 2, 2)
+
+
+def _coo_to_ell(rows, cols, vals, n_rows):
+    """Block-COO (rows sorted) -> padded block-ELL. Padding slots use col 0
+    with zero blocks (harmless in the gather-einsum matvec)."""
+    counts = np.bincount(rows, minlength=n_rows)
+    width = max(int(counts.max()) if counts.size else 1, 1)
+    starts = np.searchsorted(rows, np.arange(n_rows))
+    ranks = np.arange(rows.size) - starts[rows]
+    mi, mj = vals.shape[1], vals.shape[2]
+    ell_cols = np.zeros((n_rows, width), dtype=np.int32)
+    ell_vals = np.zeros((n_rows, width, mi, mj), dtype=vals.dtype)
+    ell_cols[rows, ranks] = cols
+    ell_vals[rows, ranks] = vals
+    return ell_cols, ell_vals
+
+
+def _diag_blocks(rows, cols, vals, n):
+    m = vals.shape[1]
+    d = np.zeros((n, m, m), dtype=vals.dtype)
+    on_diag = rows == cols
+    # add.at: diagonal keys may appear twice (ELL padding emits zero blocks)
+    np.add.at(d, rows[on_diag], vals[on_diag])
+    return d
+
+
+def _guarded_inverse(d):
+    """Batched m x m inverse (closed-form adjugate, m in {2, 3}); singular
+    blocks (fully constrained nodes, degenerate aggregates) invert to 0 so
+    the smoother leaves them alone. SVD-free: this runs per level at setup
+    time and batched pinv dominated the whole setup otherwise."""
+    n, m, _ = d.shape
+    if m == 2:
+        a, b = d[:, 0, 0], d[:, 0, 1]
+        c, e = d[:, 1, 0], d[:, 1, 1]
+        det = a * e - b * c
+        adj = np.empty_like(d)
+        adj[:, 0, 0], adj[:, 0, 1] = e, -b
+        adj[:, 1, 0], adj[:, 1, 1] = -c, a
+    elif m == 3:
+        # adjugate (transposed cofactors)
+        c00 = d[:, 1, 1] * d[:, 2, 2] - d[:, 1, 2] * d[:, 2, 1]
+        c01 = d[:, 1, 2] * d[:, 2, 0] - d[:, 1, 0] * d[:, 2, 2]
+        c02 = d[:, 1, 0] * d[:, 2, 1] - d[:, 1, 1] * d[:, 2, 0]
+        det = d[:, 0, 0] * c00 + d[:, 0, 1] * c01 + d[:, 0, 2] * c02
+        adj = np.empty_like(d)
+        adj[:, 0, 0] = c00
+        adj[:, 1, 0] = c01
+        adj[:, 2, 0] = c02
+        adj[:, 0, 1] = d[:, 0, 2] * d[:, 2, 1] - d[:, 0, 1] * d[:, 2, 2]
+        adj[:, 1, 1] = d[:, 0, 0] * d[:, 2, 2] - d[:, 0, 2] * d[:, 2, 0]
+        adj[:, 2, 1] = d[:, 0, 1] * d[:, 2, 0] - d[:, 0, 0] * d[:, 2, 1]
+        adj[:, 0, 2] = d[:, 0, 1] * d[:, 1, 2] - d[:, 0, 2] * d[:, 1, 1]
+        adj[:, 1, 2] = d[:, 0, 2] * d[:, 1, 0] - d[:, 0, 0] * d[:, 1, 2]
+        adj[:, 2, 2] = d[:, 0, 0] * d[:, 1, 1] - d[:, 0, 1] * d[:, 1, 0]
+    else:  # pragma: no cover - block sizes are fixed by construction
+        raise ValueError(f"unsupported block size {m}")
+    # relative singularity guard: |det| tiny vs the block's scale -> 0
+    scale = np.abs(d).reshape(n, -1).max(axis=1)
+    bad = np.abs(det) <= 1e-12 * np.maximum(scale, 1e-300) ** m
+    safe = np.where(bad, 1.0, det)
+    inv = adj / safe[:, None, None]
+    inv[bad] = 0.0
+    return inv
+
+
+def _coo_matvec(rows, cols, vals, x, n):
+    """Host block-COO matvec (rows sorted): power-iteration helper."""
+    prod = np.matmul(vals, x[cols][..., None])[..., 0]
+    out = np.zeros((n, x.shape[1]), dtype=x.dtype)
+    first = np.ones(rows.size, dtype=bool)
+    first[1:] = rows[1:] != rows[:-1]
+    starts = np.flatnonzero(first)
+    sums = np.add.reduceat(prod, starts, axis=0)
+    out[rows[starts]] = sums
+    return out
+
+
+def _estimate_rho_dinv_a(rows, cols, vals, diag_inv, n, iters=12, seed=0):
+    """rho(D^-1 A) by power iteration (device for large levels)."""
+    rng = np.random.default_rng(seed)
+    m = vals.shape[1]
+    x = rng.standard_normal((n, m))
+    x /= np.linalg.norm(x)
+    rho = 1.0
+    if rows.size >= _DEVICE_MIN:
+        a_cols, a_vals = _coo_to_ell(rows, cols, vals, n)
+        ac, av, di, xd = map(
+            jnp.asarray, (a_cols, a_vals, diag_inv, x)
+        )
+        for _ in range(iters):
+            y = jnp.einsum("nwij,nwj->ni", av, xd[ac])
+            y = jnp.matmul(di, y[..., None])[..., 0]
+            norm = float(jnp.linalg.norm(y))
+            if norm == 0:
+                return 1.0
+            rho = norm
+            xd = y / norm
+        return float(rho)
+    for _ in range(iters):
+        y = _coo_matvec(rows, cols, vals, x, n)
+        y = np.matmul(diag_inv, y[..., None])[..., 0]
+        norm = np.linalg.norm(y)
+        if norm == 0:
+            return 1.0
+        rho = norm
+        x = y / norm
+    return float(rho)
+
+
+def _aggregate_cells(coords, cell):
+    """Spatial cell aggregation: agg id per node + aggregate centroids."""
+    mn = coords.min(axis=0)
+    ix = np.floor((coords[:, 0] - mn[0]) / cell).astype(np.int64)
+    iy = np.floor((coords[:, 1] - mn[1]) / cell).astype(np.int64)
+    key = iy * (ix.max() + 1) + ix
+    _, agg = np.unique(key, return_inverse=True)
+    n_agg = int(agg.max()) + 1
+    counts = np.bincount(agg, minlength=n_agg).astype(np.float64)
+    cx = np.bincount(agg, coords[:, 0], minlength=n_agg) / counts
+    cy = np.bincount(agg, coords[:, 1], minlength=n_agg) / counts
+    return agg, np.stack([cx, cy], axis=-1)
+
+
+def _tentative_prolongator(agg, n_agg, bmodes):
+    """P0 + coarse near-nullspace by per-aggregate batched QR.
+
+    bmodes: [n, m, 3] near-nullspace rows per node (zeroed at fixed DOFs).
+    Returns (p0_block [n, m, 3] -- each node's single block, col = agg id,
+    b_coarse [n_agg, 3, 3]).
+    """
+    n, m, nvec = bmodes.shape
+    order = np.argsort(agg, kind="stable")
+    counts = np.bincount(agg, minlength=n_agg)
+    smax = int(counts.max())
+    # padded stack [n_agg, smax*m, 3]; zero padding rows are QR-safe (their
+    # Q rows reproduce zeros whenever R is used to reconstruct them)
+    stacked = np.zeros((n_agg, smax * m, nvec))
+    pos_in_agg = np.arange(n) - np.searchsorted(agg[order], np.arange(n_agg))[agg[order]]
+    flat_rows = (pos_in_agg[:, None] * m + np.arange(m)[None, :]).reshape(-1)
+    node_rows = np.repeat(order, m)
+    agg_rows = np.repeat(agg[order], m)
+    stacked[agg_rows, flat_rows] = bmodes[order].reshape(n * m, nvec)
+    q, r = np.linalg.qr(stacked)  # q [n_agg, smax*m, 3], r [n_agg, 3, 3]
+    p0 = np.zeros((n, m, nvec))
+    p0[node_rows, np.tile(np.arange(m), n)] = q[agg_rows, flat_rows]
+    return p0, r
+
+
+def _smooth_prolongator(rows, cols, vals, diag_inv, agg, p0_block, n_agg, omega):
+    """P = (I - omega D^-1 A) P0 in block-COO keyed (fine row, coarse col)."""
+    n = p0_block.shape[0]
+    # - omega * Dinv A P0 term: every A entry (i, j) -> (i, agg[j])
+    dinva = _mm(diag_inv[rows], vals)  # [nnz, m, m]
+    contrib = -omega * _mm(dinva, p0_block[cols])
+    keys = rows * np.int64(n_agg) + agg[cols]
+    # + P0 term
+    keys0 = np.arange(n, dtype=np.int64) * n_agg + agg
+    keys_all = np.concatenate([keys, keys0])
+    vals_all = np.concatenate([contrib, p0_block])
+    k, v = _reduce_block_coo(keys_all, vals_all)
+    return (k // n_agg).astype(np.int64), (k % n_agg).astype(np.int64), v
+
+
+def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
+    """Galerkin product P^T A P in block-COO, chunked sort+reduce.
+
+    A: [nnz_a] blocks (m x m); P: [nnz_p] blocks (m x mc), rows sorted.
+    """
+    n = int(arows.max()) + 1 if arows.size else 0
+    p_ell_cols, p_ell_vals = _coo_to_ell(prows, pcols, pvals, n)
+    wp = p_ell_cols.shape[1]
+    mc = pvals.shape[2]
+    m = avals.shape[1]
+
+    # step 1: AP[i, a] = sum_j A[i,j] P[j, a]   (chunked over A entries)
+    pk, pv = [], []
+    for s in range(0, arows.size, chunk):
+        e = min(s + chunk, arows.size)
+        aj = acols[s:e]
+        prod = _mm(avals[s:e, None], p_ell_vals[aj])  # [c, wp, m, mc]
+        keys = (
+            arows[s:e, None] * np.int64(n_agg) + p_ell_cols[aj].astype(np.int64)
+        ).reshape(-1)
+        k, v = _reduce_block_coo(keys, prod.reshape(-1, m, mc))
+        pk.append(k)
+        pv.append(v)
+    apk, apv = _reduce_block_coo(np.concatenate(pk), np.concatenate(pv))
+    ap_rows = (apk // n_agg).astype(np.int64)
+    ap_cols = (apk % n_agg).astype(np.int64)
+    ap_ell_cols, ap_ell_vals = _coo_to_ell(ap_rows, ap_cols, apv, n)
+    wap = ap_ell_cols.shape[1]
+
+    # step 2: (P^T AP)[b, a] = sum_i P[i,b]^T AP[i,a]  (chunked over rows)
+    pk, pv = [], []
+    row_chunk = max(chunk // max(wp * wap, 1), 1)
+    for s in range(0, n, row_chunk):
+        e = min(s + row_chunk, n)
+        prod = _mm(
+            p_ell_vals[s:e].transpose(0, 1, 3, 2)[:, :, None],
+            ap_ell_vals[s:e, None],
+        )  # [c, wp, wap, mc, mc]
+        keys = (
+            p_ell_cols[s:e, :, None].astype(np.int64) * n_agg
+            + ap_ell_cols[s:e, None, :].astype(np.int64)
+        ).reshape(-1)
+        k, v = _reduce_block_coo(keys, prod.reshape(-1, mc, mc))
+        pk.append(k)
+        pv.append(v)
+    ck, cv = _reduce_block_coo(np.concatenate(pk), np.concatenate(pv))
+    # drop numerically-zero fill (padding products, cancellations): keeps the
+    # coarse ELL width tight
+    norms = np.abs(cv).reshape(cv.shape[0], -1).max(axis=1)
+    cutoff = 1e-14 * (norms.max() if norms.size else 1.0)
+    keep = norms > cutoff
+    # always keep diagonal blocks
+    keep |= (ck // n_agg) == (ck % n_agg)
+    ck, cv = ck[keep], cv[keep]
+    return (
+        (ck // n_agg).astype(np.int64),
+        (ck % n_agg).astype(np.int64),
+        cv,
+    )
+
+
+@dataclass
+class AMGSetup:
+    """Host-side hierarchy. Level 0's operator is NOT stored (the solver
+    injects its fast reduced matvec); levels >= 1 carry block-ELL operators.
+
+    transfers[l]: (p_cols [n_l, wp], p_vals [n_l, wp, m_l, m_{l+1}],
+                   pt_cols [n_{l+1}, wr], pt_vals [n_{l+1}, wr, m_{l+1}, m_l])
+    coarse_ops[l-1] for l >= 1: (a_cols [n_l, w], a_vals [n_l, w, m, m],
+                                 diag_inv [n_l, m, m])
+    coarsest_inv: dense pseudo-inverse of the last level (or None).
+    """
+
+    transfers: list
+    coarse_ops: list
+    coarsest_inv: Optional[np.ndarray]
+    level_sizes: list  # [(n_l, m_l)]
+    setup_info: dict
+
+
+def build_amg_setup(
+    coords: np.ndarray,
+    tris: np.ndarray,
+    e_mod: float,
+    nu: float,
+    t: float,
+    free: np.ndarray,  # [N, 2] float or bool, 1 = unknown DOF
+    *,
+    cell_factor: float = 3.0,
+    max_levels: int = 8,
+    coarse_dof: int = _DENSE_COARSE_MAX_DOF,
+) -> AMGSetup:
+    """Build the SA hierarchy for one mesh + BC set (host, numpy)."""
+    coords = np.asarray(coords, dtype=np.float64)
+    free = np.asarray(free, dtype=np.float64)
+    n = coords.shape[0]
+
+    rows, cols, vals = _assemble_block_coo(
+        coords, tris, float(e_mod), float(nu), float(t), free
+    )
+
+    # rigid-body near-nullspace, zeroed at fixed DOFs; coordinates centered
+    # for conditioning of the per-aggregate QR
+    c0 = coords - coords.mean(axis=0)
+    bmodes = np.zeros((n, 2, 3))
+    bmodes[:, 0, 0] = 1.0
+    bmodes[:, 1, 1] = 1.0
+    bmodes[:, 0, 2] = -c0[:, 1]
+    bmodes[:, 1, 2] = c0[:, 0]
+    bmodes *= free[:, :, None]
+
+    p = coords[tris]
+    h = float(
+        np.median(
+            np.concatenate(
+                [
+                    np.hypot(*(p[:, 0] - p[:, 1]).T),
+                    np.hypot(*(p[:, 1] - p[:, 2]).T),
+                    np.hypot(*(p[:, 2] - p[:, 0]).T),
+                ]
+            )
+        )
+    )
+    cell = cell_factor * h
+
+    transfers = []
+    coarse_ops = []
+    level_sizes = [(n, 2)]
+    cur_coords = coords
+    m = 2
+    info = {"omegas": [], "rhos": []}
+
+    while len(level_sizes) < max_levels and level_sizes[-1][0] * m > coarse_dof:
+        n_l = level_sizes[-1][0]
+        agg, centroids = _aggregate_cells(cur_coords, cell)
+        n_agg = centroids.shape[0]
+        if n_agg * 3 >= n_l * m:  # coarsening stalled; stop here
+            break
+        p0_block, b_coarse = _tentative_prolongator(agg, n_agg, bmodes)
+        diag_inv = _guarded_inverse(_diag_blocks(rows, cols, vals, n_l))
+        rho = _estimate_rho_dinv_a(rows, cols, vals, diag_inv, n_l)
+        omega = 4.0 / 3.0 / max(rho, 1e-12)
+        info["rhos"].append(rho)
+        info["omegas"].append(omega)
+        prows, pcols, pvals = _smooth_prolongator(
+            rows, cols, vals, diag_inv, agg, p0_block, n_agg, omega
+        )
+        p_cols, p_vals = _coo_to_ell(prows, pcols, pvals, n_l)
+        # P^T in ELL by coarse row: transpose the COO and re-sort
+        tk, tv = _reduce_block_coo(
+            pcols * np.int64(n_l) + prows, pvals.transpose(0, 2, 1)
+        )
+        pt_cols, pt_vals = _coo_to_ell(
+            (tk // n_l).astype(np.int64), (tk % n_l).astype(np.int64), tv, n_agg
+        )
+        transfers.append((p_cols, p_vals, pt_cols, pt_vals))
+
+        rows, cols, vals = _rap(rows, cols, vals, prows, pcols, pvals, n_agg)
+        a_cols, a_vals = _coo_to_ell(rows, cols, vals, n_agg)
+        d_inv = _guarded_inverse(_diag_blocks(rows, cols, vals, n_agg))
+        coarse_ops.append((a_cols, a_vals, d_inv))
+
+        bmodes = b_coarse
+        cur_coords = centroids
+        m = 3
+        level_sizes.append((n_agg, m))
+        cell *= cell_factor
+
+    coarsest_inv = None
+    nl, ml = level_sizes[-1]
+    if len(level_sizes) > 1 and nl * ml <= coarse_dof:
+        dense = np.zeros((nl, ml, nl, ml))
+        dense[rows, :, cols, :] = vals
+        dense = dense.reshape(nl * ml, nl * ml)
+        # tiny diagonal jitter makes the SPSD coarse operator (degenerate
+        # aggregate DOFs have ~zero rows) safely invertible without the
+        # O(n^3) constant of a pinv/SVD
+        diag = np.diagonal(dense)
+        jitter = 1e-12 * max(float(diag.max()), 1e-300)
+        coarsest_inv = np.linalg.inv(dense + jitter * np.eye(nl * ml))
+
+    info["levels"] = level_sizes
+    return AMGSetup(
+        transfers=transfers,
+        coarse_ops=coarse_ops,
+        coarsest_inv=coarsest_inv,
+        level_sizes=level_sizes,
+        setup_info=info,
+    )
+
+
+def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
+    """Upload the hierarchy as a jit-traceable pytree of device arrays."""
+    transfers = tuple(
+        (
+            jnp.asarray(pc),
+            jnp.asarray(pv, dtype=dtype),
+            jnp.asarray(tc),
+            jnp.asarray(tv, dtype=dtype),
+        )
+        for pc, pv, tc, tv in setup.transfers
+    )
+    coarse = tuple(
+        (jnp.asarray(ac), jnp.asarray(av, dtype=dtype), jnp.asarray(di, dtype=dtype))
+        for ac, av, di in setup.coarse_ops
+    )
+    ci = (
+        (jnp.asarray(setup.coarsest_inv, dtype=dtype),)
+        if setup.coarsest_inv is not None
+        else ()
+    )
+    return (transfers, coarse, ci)
+
+
+# =========================== device V-cycle =================================
+
+
+def _block_ell_matvec(a_cols, a_vals, x):
+    """x [n, m] -> [n, m] via gather + block contraction."""
+    return jnp.einsum(
+        "nwij,nwj->ni", a_vals, x[a_cols], precision="highest"
+    )
+
+
+def _apply_blocks(blocks, x):
+    return jnp.einsum("nij,nj->ni", blocks, x, precision="highest")
+
+
+def make_amg_preconditioner(
+    amg: tuple,
+    op0: MatVec,
+    jac0: MatVec,
+    *,
+    layout: str = "t",
+    pre_sweeps: int = 1,
+    post_sweeps: int = 1,
+    omega0: float = 0.7,
+    omega: float = 0.7,
+    coarse_sweeps: int = 24,
+) -> MatVec:
+    """V(1,1)-cycle apply(r) ~= A^-1 r.
+
+    amg: pytree from `amg_device_arrays`. op0/jac0: the solver's REDUCED
+    level-0 operator and block-Jacobi-inverse apply, in the layout given by
+    `layout` ("t" = [2, N] band layout used by DIA/hybrid, "n" = [N, 2]
+    node-major ELL layout). Transfers and coarse levels always run
+    node-major.
+    """
+    transfers, coarse, ci = amg
+    n_levels = len(transfers) + 1
+
+    def to_nodes(r):
+        return r.T if layout == "t" else r
+
+    def from_nodes(r):
+        return r.T if layout == "t" else r
+
+    def smooth_coarse(l, e, r, sweeps):
+        a_cols, a_vals, d_inv = coarse[l - 1]
+        for _ in range(sweeps):
+            res = r - _block_ell_matvec(a_cols, a_vals, e)
+            e = e + omega * _apply_blocks(d_inv, res)
+        return e
+
+    def cycle(l, r):
+        """r [n_l, m_l] node-major; returns e ~= A_l^-1 r."""
+        if l == n_levels - 1 and l > 0:
+            if ci:
+                flat = ci[0] @ r.reshape(-1)
+                return flat.reshape(r.shape)
+            return smooth_coarse(l, jnp.zeros_like(r), r, coarse_sweeps)
+        a_cols, a_vals, d_inv = coarse[l - 1]
+        e = omega * _apply_blocks(d_inv, r)
+        e = smooth_coarse(l, e, r, pre_sweeps - 1)
+        res = r - _block_ell_matvec(a_cols, a_vals, e)
+        p_cols, p_vals, pt_cols, pt_vals = transfers[l]
+        rc = _block_ell_matvec(pt_cols, pt_vals, res)
+        ec = cycle(l + 1, rc)
+        e = e + _block_ell_matvec(p_cols, p_vals, ec)
+        return smooth_coarse(l, e, r, post_sweeps)
+
+    def apply(r):
+        # level 0 on the injected fast operator, in its native layout
+        if n_levels == 1:
+            return omega0 * jac0(r)
+        e = omega0 * jac0(r)
+        for _ in range(pre_sweeps - 1):
+            e = e + omega0 * jac0(r - op0(e))
+        res = to_nodes(r - op0(e))
+        p_cols, p_vals, pt_cols, pt_vals = transfers[0]
+        rc = _block_ell_matvec(pt_cols, pt_vals, res)
+        ec = cycle(1, rc)
+        e = e + from_nodes(_block_ell_matvec(p_cols, p_vals, ec))
+        for _ in range(post_sweeps):
+            e = e + omega0 * jac0(r - op0(e))
+        return e
+
+    return apply

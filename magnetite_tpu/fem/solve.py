@@ -295,7 +295,7 @@ def _run_linear_solve(spec: CoreSpec, op, precond, b, x0, op32=None, precond32=N
 
 
 def _solve_hybrid(
-    spec: CoreSpec, coords, tris, rem_idx, slot_ids, u_known, u_value, f_value, e, nu, t
+    spec: CoreSpec, coords, tris, rem_idx, slot_ids, u_known, u_value, f_value, e, nu, t, amg
 ):
     from .dia import assemble_hybrid, block_jacobi_inverse_t, hybrid_matvec
 
@@ -328,6 +328,10 @@ def _solve_hybrid(
         precond = identity_preconditioner()
     else:
         precond = block_jacobi_inverse_t(bands[zero_idx], free_t)
+        if spec.preconditioner == "amg" and not spec.refine:
+            from .amg import make_amg_preconditioner
+
+            precond = make_amg_preconditioner(amg, op, precond, layout="t")
     op32 = precond32 = None
     if spec.refine:
         f32 = jnp.float32
@@ -335,6 +339,10 @@ def _solve_hybrid(
         bands32, rem32 = bands.astype(f32), rem_vals.astype(f32)
         _, op32 = make_op(bands32, rem32, free32)
         precond32 = block_jacobi_inverse_t(bands32[zero_idx], free32)
+        if spec.preconditioner == "amg":
+            from .amg import make_amg_preconditioner
+
+            precond32 = make_amg_preconditioner(amg, op32, precond32, layout="t")
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
         spec, op, precond, b, u_fixed_t, op32, precond32
@@ -350,7 +358,7 @@ def _solve_hybrid(
     )
 
 
-def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t):
+def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t, amg):
     from .dia import (
         assemble_dia,
         block_jacobi_inverse_t,
@@ -380,6 +388,10 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
         precond = identity_preconditioner()
     else:
         precond = block_jacobi_inverse_t(dia_diag_blocks(bands, offsets), free_t)
+        if spec.preconditioner == "amg" and not spec.refine:
+            from .amg import make_amg_preconditioner
+
+            precond = make_amg_preconditioner(amg, op, precond, layout="t")
     op32 = precond32 = None
     if spec.refine:
         f32 = jnp.float32
@@ -389,6 +401,10 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
         precond32 = block_jacobi_inverse_t(
             dia_diag_blocks(bands32, offsets), free32
         )
+        if spec.preconditioner == "amg":
+            from .amg import make_amg_preconditioner
+
+            precond32 = make_amg_preconditioner(amg, op32, precond32, layout="t")
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
         spec, op, precond, b, u_fixed_t, op32, precond32
@@ -424,7 +440,7 @@ def _solve_dense(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, nu,
     )
 
 
-def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t):
+def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg):
     n = coords.shape[0]
     width = cols.shape[1]
     free = (~u_known).astype(coords.dtype)
@@ -433,7 +449,13 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
     matvec = make_ell_operator(ell, cols)
     op = make_constrained_operator(matvec, free)
     diag_blocks = extract_block_diagonal(ell, cols)
-    precond = _make_preconditioner(spec.preconditioner, diag_blocks, free)
+    if spec.preconditioner == "amg":
+        from .amg import make_amg_preconditioner
+
+        bj = block_jacobi_preconditioner(diag_blocks, free)
+        precond = make_amg_preconditioner(amg, op, bj, layout="n")
+    else:
+        precond = _make_preconditioner(spec.preconditioner, diag_blocks, free)
     b = reduced_rhs(matvec, free, u_value, f_value)
     if spec.refine:
         f32 = jnp.float32
@@ -442,9 +464,15 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
         op32 = make_constrained_operator(
             make_ell_operator(ell32, cols), free32
         )
-        precond32 = _make_preconditioner(
-            spec.preconditioner, diag_blocks.astype(f32), free32
-        )
+        if spec.preconditioner == "amg":
+            from .amg import make_amg_preconditioner
+
+            bj32 = block_jacobi_preconditioner(diag_blocks.astype(f32), free32)
+            precond32 = make_amg_preconditioner(amg, op32, bj32, layout="n")
+        else:
+            precond32 = _make_preconditioner(
+                spec.preconditioner, diag_blocks.astype(f32), free32
+            )
         x, iters, resnorm, converged, history = _run_linear_solve(
             spec, op, precond, b, u_value, op32, precond32
         )
@@ -482,18 +510,18 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
 def _jitted_core(spec: CoreSpec):
     """Build + cache the jitted solve core for one CoreSpec."""
 
-    def core(coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t):
+    def core(coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg):
         if spec.mode == "stencil":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_stencil(
                 spec, coords, tris, u_known, u_value, f_value, e, nu, t
             )
         elif spec.mode == "hybrid":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_hybrid(
-                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t
+                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg
             )
         elif spec.mode == "dia":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_dia(
-                spec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t
+                spec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t, amg
             )
         elif spec.mode == "dense":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_dense(
@@ -501,7 +529,7 @@ def _jitted_core(spec: CoreSpec):
             )
         else:
             u, ku, iters, resnorm, converged, bnorm, history = _solve_ell(
-                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t
+                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg
             )
 
         # Force recovery: unknown forces are K u rows (reference
@@ -558,6 +586,10 @@ class CompiledProblem:
     timings: dict
     refine: bool = False
     debug_nans: bool = False
+    # internal node renumbering (meshing/reorder.py): perm[new] = old.
+    # `solve()` reports results in the caller's original node order;
+    # `solve_device()` returns raw arrays in the renumbered order.
+    perm: Optional[np.ndarray] = None
 
     def solve_device(self):
         return self.core(*self.args)
@@ -572,6 +604,11 @@ class CompiledProblem:
         timings["solve_s"] = time.perf_counter() - t0
 
         u, f, sigma = np.asarray(u), np.asarray(f), np.asarray(sigma)
+        if self.perm is not None:
+            # new node i is original node perm[i]; element order is unchanged
+            u_o, f_o = np.empty_like(u), np.empty_like(f)
+            u_o[self.perm], f_o[self.perm] = u, f
+            u, f = u_o, f_o
         # NaN check first: a NaN residual also reads as "not converged", but
         # the sanitizer message is the actionable one
         if self.debug_nans:
@@ -657,6 +694,45 @@ def compile_problem(
                 "mesh connectivity is not grid-local; stencil operator "
                 "unavailable"
             )
+    # Band-friendly renumbering: a mesh whose native node order misses the
+    # DIA band format (arbitrary .msh input, shuffled producers) gets a
+    # geometric/RCM renumbering (meshing/reorder.py) before the format
+    # choice commits -- results are un-permuted on the way out. Skipped when
+    # the caller pinned an ELL structure (its slot_ids encode the ordering).
+    perm = None
+    if (
+        mode is None
+        and options.renumber != "off"
+        and structure is None
+        and options.operator in ("auto", "dia", "hybrid")
+    ):
+        from ..meshing.reorder import band_stats, renumber as _renumber
+        from .dia import build_dia_structure
+
+        if build_dia_structure(mesh.tris, n, max_diags=options.max_diags) is None:
+            orig = band_stats(mesh.tris, n, top_k=options.max_diags)
+            mesh_r, perm_r, stats = _renumber(
+                mesh, method=options.renumber, top_k=options.max_diags
+            )
+            if (
+                stats.n_offsets <= options.max_diags < orig.n_offsets
+                or stats.remainder_frac < orig.remainder_frac
+            ):
+                from ..utils.logging import log
+
+                log(
+                    "info: renumbered nodes for banded SpMV: "
+                    f"{orig.n_offsets} -> {stats.n_offsets} distinct "
+                    "offsets, out-of-band remainder "
+                    f"{orig.remainder_frac:.1%} -> {stats.remainder_frac:.1%}"
+                )
+                mesh, perm = mesh_r, perm_r
+                bca = BCArrays(
+                    u_known=bca.u_known[perm],
+                    u_value=bca.u_value[perm],
+                    f_value=bca.f_value[perm],
+                )
+
     if mode is None and options.operator in ("auto", "dia"):
         from .dia import build_dia_structure
 
@@ -737,13 +813,47 @@ def compile_problem(
                 else "block_jacobi"
             )
         else:
-            preconditioner = "block_jacobi"
+            # unstructured at scale: smoothed-aggregation AMG holds CG
+            # iteration counts mesh-independent (fem/amg.py); below the
+            # threshold the hierarchy setup outweighs the saved iterations
+            preconditioner = (
+                "amg"
+                if mode in ("dia", "hybrid", "ell")
+                and n >= options.amg_auto_min_nodes
+                else "block_jacobi"
+            )
     elif preconditioner == "multigrid" and mode != "stencil":
         raise SolverError(
             "multigrid preconditioner requires a structured-grid mesh "
             "(stencil operator)"
         )
+    elif preconditioner == "amg" and mode not in ("dia", "hybrid", "ell"):
+        raise SolverError(
+            "amg preconditioner applies to unstructured operators "
+            "(dia/hybrid/ell); structured grids use preconditioner="
+            "'multigrid'"
+        )
     timings["preconditioner"] = preconditioner
+
+    amg_args = ((), (), ())
+    if preconditioner == "amg":
+        from .amg import amg_device_arrays, build_amg_setup
+
+        t0 = time.perf_counter()
+        setup = build_amg_setup(
+            mesh.coords,
+            mesh.tris,
+            metadata.youngs_modulus,
+            metadata.poisson_ratio,
+            metadata.part_thickness,
+            (~bca.u_known).astype(np.float64),
+            cell_factor=float(options.amg_cell_factor),
+        )
+        # refinement runs the V-cycle only inside the f32 inner solves
+        amg_dtype = np.float32 if refine else dtype
+        amg_args = amg_device_arrays(setup, amg_dtype)
+        timings["amg_setup_s"] = time.perf_counter() - t0
+        timings["amg_levels"] = setup.level_sizes
 
     spec = CoreSpec(
         mode=mode,
@@ -776,6 +886,7 @@ def compile_problem(
         upload_dtype.type(metadata.youngs_modulus),
         upload_dtype.type(metadata.poisson_ratio),
         upload_dtype.type(metadata.part_thickness),
+        amg_args,
     )
     jax.block_until_ready(args[:7])
     timings["upload_s"] = time.perf_counter() - t0
@@ -788,4 +899,5 @@ def compile_problem(
         timings=timings,
         refine=refine,
         debug_nans=bool(options.debug_nans),
+        perm=perm,
     )

@@ -1,0 +1,199 @@
+"""Mesh node renumbering for band-friendly sparsity.
+
+The TPU solver's fast SpMV formats (DIA / hybrid, fem/dia.py) require the
+(col - row) offsets of the stiffness couplings to concentrate into a few
+dozen distinct values. The built-in Delaunay backend already emits such an
+ordering (lattice-row sort, meshing/delaunay_backend.py); meshes arriving
+from the gmsh backend or arbitrary ``.msh`` files (reference feeds these
+straight to its dense solver, src/mesher.rs:939-974) carry whatever node
+order the mesher produced and would otherwise fall to the gather-ELL
+operator -- the slowest formulation on TPU.
+
+Two orderings:
+
+* ``geometric``: bin nodes into horizontal rows of pitch ~= the median edge
+  length's row spacing, sort rows bottom-up and by x within each row. On
+  quasi-uniform meshes (both built-in backends, typical gmsh output) this
+  reduces the offset set to O(max row length variation) distinct values.
+* ``rcm``: level-synchronous (reverse) Cuthill-McKee over the node adjacency
+  graph -- coordinate-free bandwidth reduction for meshes with strongly
+  varying density where row binning misbehaves.
+
+``renumber`` tries the requested method(s) and keeps the ordering with the
+smallest out-of-band remainder; the solver applies it automatically
+(SolverOptions.renumber) before committing to an operator format.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .core import Mesh
+
+
+@dataclass(frozen=True)
+class BandStats:
+    """Banded-quality metrics of one node ordering."""
+
+    n_offsets: int  # distinct (col - row) values over all couplings
+    remainder_frac: float  # fraction of coupled pairs outside top-k offsets
+    bandwidth: int  # max |col - row|
+
+
+def band_stats(tris: np.ndarray, n_nodes: int, top_k: int = 48) -> BandStats:
+    """Measure how band-friendly a mesh's current node numbering is."""
+    tris = np.asarray(tris, dtype=np.int64)
+    rows = np.repeat(tris, 3, axis=1).reshape(-1)
+    cols = np.tile(tris, (1, 3)).reshape(-1)
+    offs = cols - rows
+    uniq, counts = np.unique(offs, return_counts=True)
+    if uniq.size <= top_k:
+        rem = 0.0
+    else:
+        order = np.argsort(-counts)
+        rem = float(counts[order[top_k:]].sum()) / float(offs.size)
+    bw = int(np.abs(uniq).max()) if uniq.size else 0
+    return BandStats(n_offsets=int(uniq.size), remainder_frac=rem, bandwidth=bw)
+
+
+def _median_edge_length(coords: np.ndarray, tris: np.ndarray) -> float:
+    p = coords[tris]  # [E, 3, 2]
+    e01 = np.hypot(*(p[:, 0] - p[:, 1]).T)
+    e12 = np.hypot(*(p[:, 1] - p[:, 2]).T)
+    e20 = np.hypot(*(p[:, 2] - p[:, 0]).T)
+    return float(np.median(np.concatenate([e01, e12, e20])))
+
+
+def geometric_order(coords: np.ndarray, tris: np.ndarray) -> np.ndarray:
+    """Lattice-row ordering: perm[new] = old node index.
+
+    Row pitch = hex-lattice row spacing of the median edge length (the
+    spacing both built-in mesh producers use); works for any quasi-uniform
+    mesh since a row bin only needs to capture "nodes at comparable y".
+    """
+    coords = np.asarray(coords, dtype=np.float64)
+    h = _median_edge_length(coords, np.asarray(tris, dtype=np.int64))
+    dy = max(h * np.sqrt(3.0) / 2.0, 1e-300)
+    row_bin = np.round((coords[:, 1] - coords[:, 1].min()) / dy)
+    return np.lexsort((coords[:, 0], row_bin))
+
+
+def _adjacency_csr(tris: np.ndarray, n_nodes: int):
+    """Symmetric node adjacency (CSR arrays) from triangle connectivity."""
+    tris = np.asarray(tris, dtype=np.int64)
+    # all ordered pairs (a, b), a != b
+    a = np.repeat(tris, 3, axis=1).reshape(-1)
+    b = np.tile(tris, (1, 3)).reshape(-1)
+    keep = a != b
+    keys = np.unique(a[keep] * np.int64(n_nodes) + b[keep])
+    rows = (keys // n_nodes).astype(np.int64)
+    cols = (keys % n_nodes).astype(np.int64)
+    starts = np.searchsorted(rows, np.arange(n_nodes + 1))
+    return starts, cols
+
+
+def rcm_order(tris: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Level-synchronous reverse Cuthill-McKee: perm[new] = old index.
+
+    Classic CM explores a FIFO of degree-sorted neighbors; this variant
+    orders each BFS level by (rank of the first discovered parent, degree),
+    which vectorizes per level and yields comparable bandwidth.
+    """
+    starts, cols = _adjacency_csr(tris, n_nodes)
+    degree = np.diff(starts)
+    visited = np.zeros(n_nodes, dtype=bool)
+    rank = np.full(n_nodes, -1, dtype=np.int64)
+    out: list[np.ndarray] = []
+    placed = 0
+    while placed < n_nodes:
+        # new component: seed at the minimum-degree unvisited node
+        unvisited = np.flatnonzero(~visited)
+        seed = unvisited[np.argmin(degree[unvisited])]
+        frontier = np.asarray([seed], dtype=np.int64)
+        visited[seed] = True
+        rank[seed] = placed
+        out.append(frontier)
+        placed += 1
+        while frontier.size:
+            # gather all neighbors of the frontier
+            counts = degree[frontier]
+            parent = np.repeat(frontier, counts)
+            idx = np.concatenate(
+                [cols[starts[f] : starts[f + 1]] for f in frontier]
+            ) if frontier.size < 1024 else _gather_neighbors(starts, cols, frontier)
+            fresh = ~visited[idx]
+            idx, parent = idx[fresh], parent[fresh]
+            if idx.size == 0:
+                break
+            # first-parent rank per node: sort by (node, parent rank), keep first
+            order = np.lexsort((rank[parent], idx))
+            idx_s = idx[order]
+            first = np.ones(idx_s.size, dtype=bool)
+            first[1:] = idx_s[1:] != idx_s[:-1]
+            nodes = idx_s[first]
+            parent_rank = rank[parent[order][first]]
+            level_order = np.lexsort((degree[nodes], parent_rank))
+            frontier = nodes[level_order]
+            visited[frontier] = True
+            rank[frontier] = placed + np.arange(frontier.size)
+            out.append(frontier)
+            placed += frontier.size
+    perm = np.concatenate(out)
+    return perm[::-1].copy()  # the "reverse" in RCM
+
+
+def _gather_neighbors(starts, cols, frontier):
+    """Vectorized CSR row gather for large frontiers."""
+    counts = starts[frontier + 1] - starts[frontier]
+    total = int(counts.sum())
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # index into cols: starts[f] + (position within row)
+    pos = np.arange(total) - np.repeat(offsets, counts)
+    return cols[np.repeat(starts[frontier], counts) + pos]
+
+
+def apply_permutation(mesh: Mesh, perm: np.ndarray) -> Mesh:
+    """Renumber a mesh: new node i is old node perm[i]; element order kept."""
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return Mesh(
+        coords=np.ascontiguousarray(mesh.coords[perm]),
+        tris=inv[mesh.tris.astype(np.int64)].astype(np.int32),
+        # a permutation invalidates any structured-grid guarantees
+        grid_shape=None,
+        wrap_cols=False,
+        grid_local=False,
+        canonical_grid=False,
+    )
+
+
+def renumber(
+    mesh: Mesh, method: str = "auto", top_k: int = 48
+) -> tuple[Mesh, np.ndarray, BandStats]:
+    """Renumber for band-friendliness.
+
+    Returns (renumbered mesh, perm with perm[new] = old, stats of the new
+    ordering). ``method``: "geometric" | "rcm" | "auto" (geometric, falling
+    back to RCM when it leaves a larger out-of-band remainder).
+    """
+    n = mesh.num_nodes
+    candidates: list[np.ndarray] = []
+    if method in ("auto", "geometric"):
+        candidates.append(geometric_order(mesh.coords, mesh.tris))
+    if method == "rcm" or (method == "auto" and n <= 200_000):
+        # RCM's per-level host loop is only worth trying at sizes where its
+        # runtime is negligible; geometric handles quasi-uniform large meshes
+        candidates.append(rcm_order(mesh.tris, n))
+    if not candidates:
+        raise ValueError(f"unknown renumber method '{method}'")
+
+    best = None
+    for perm in candidates:
+        m2 = apply_permutation(mesh, perm)
+        stats = band_stats(m2.tris, n, top_k=top_k)
+        key = (stats.remainder_frac, stats.n_offsets)
+        if best is None or key < best[0]:
+            best = (key, m2, perm, stats)
+    return best[1], best[2], best[3]

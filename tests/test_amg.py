@@ -1,0 +1,197 @@
+"""Smoothed-aggregation AMG: Galerkin exactness, SPD symmetry, convergence.
+
+The reference has no preconditioner at all (unpreconditioned argmin CG,
+src/solver.rs:119-177); AMG is what makes the rebuild's unstructured-mesh
+solves mesh-independent. These tests pin the algebra (A1 == P^T A0 P), the
+CG-compatibility contract (symmetric V-cycle), and the convergence win.
+"""
+
+import numpy as np
+import pytest
+
+from magnetite_tpu.bc import apply_boundary_conditions
+from magnetite_tpu.config import (
+    BoundaryRegion,
+    ModelMetadata,
+    SolverOptions,
+)
+from magnetite_tpu.errors import SolverError
+from magnetite_tpu.fem.amg import (
+    _assemble_block_coo,
+    amg_device_arrays,
+    build_amg_setup,
+    make_amg_preconditioner,
+)
+from magnetite_tpu.fem.solve import compile_problem, solve_system
+from magnetite_tpu.meshing.delaunay_backend import triangulate
+from tests.conftest import make_rule
+
+
+@pytest.fixture
+def plate():
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    # h=0.04 -> ~2.1k nodes: above the dense-coarsest threshold, so the
+    # hierarchy really coarsens (712-node meshes stay single-level)
+    return triangulate([outer, hole], 0.0, 0.04)
+
+
+def _rules():
+    return (
+        make_rule("left", BoundaryRegion(x_max=1e-6), ux=0.0, uy=0.0),
+        make_rule("right", BoundaryRegion(x_min=3.0 - 1e-6), ux=0.01, fy=0.0),
+    )
+
+
+E, NU, T = 69e9, 0.33, 0.5
+MD = ModelMetadata(E, NU, T, 0.0, 0.04)
+
+
+def _dense_from_blocks(rows, cols, vals, n_rows, n_cols):
+    """Scatter block-COO/ELL entries into a dense matrix (accumulating)."""
+    mi, mj = vals.shape[-2], vals.shape[-1]
+    d = np.zeros((n_rows * mi, n_cols * mj))
+    for i in range(mi):
+        for j in range(mj):
+            np.add.at(d, (rows * mi + i, cols * mj + j), vals[..., i, j].reshape(-1))
+    return d
+
+
+def test_galerkin_coarse_operator_is_ptap(plate):
+    """coarse_ops[0] must equal P^T A0 P exactly (dense cross-check)."""
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    free = (~bca.u_known).astype(np.float64)
+    setup = build_amg_setup(plate.coords, plate.tris, E, NU, T, free)
+    n0 = plate.num_nodes
+
+    rows, cols, vals = _assemble_block_coo(
+        plate.coords, plate.tris, E, NU, T, free
+    )
+    a0 = _dense_from_blocks(rows, cols, vals, n0, n0)
+
+    p_cols, p_vals, _, _ = setup.transfers[0]
+    n1 = setup.level_sizes[1][0]
+    wp = p_cols.shape[1]
+    p_rows = np.repeat(np.arange(n0), wp)
+    p = _dense_from_blocks(p_rows, p_cols.reshape(-1), p_vals.reshape(-1, 2, 3), n0, n1)
+
+    a_cols, a_vals, _ = setup.coarse_ops[0]
+    wa = a_cols.shape[1]
+    a_rows = np.repeat(np.arange(n1), wa)
+    a1 = _dense_from_blocks(a_rows, a_cols.reshape(-1), a_vals.reshape(-1, 3, 3), n1, n1)
+
+    expected = p.T @ a0 @ p
+    scale = np.abs(expected).max()
+    np.testing.assert_allclose(a1, expected, atol=1e-8 * scale)
+
+
+def test_rigid_body_modes_in_range_of_tentative_p(plate):
+    """Unconstrained rigid-body motion must be reproducible through P
+    (the SA design invariant): check on a BC-free setup."""
+    free = np.ones((plate.num_nodes, 2))
+    setup = build_amg_setup(plate.coords, plate.tris, E, NU, T, free)
+    p_cols, p_vals, _, _ = setup.transfers[0]
+    n0, n1 = setup.level_sizes[0][0], setup.level_sizes[1][0]
+    wp = p_cols.shape[1]
+    p_rows = np.repeat(np.arange(n0), wp)
+    p = _dense_from_blocks(p_rows, p_cols.reshape(-1), p_vals.reshape(-1, 2, 3), n0, n1)
+    c0 = plate.coords - plate.coords.mean(axis=0)
+    # rotation mode [-y, x] per node, interleaved [ux0, uy0, ux1, ...]
+    rot = np.stack([-c0[:, 1], c0[:, 0]], axis=-1).reshape(-1)
+    # smoothing P preserves range(P0) up to (I - w Dinv A) action; the
+    # EXACT invariant is that rot lies in range(P0), and since
+    # P = (I - w Dinv A) P0 and A rot = 0 (no BCs), P c = (I - w Dinv A) rot
+    # = rot for the coarse coefficients c that reproduce rot through P0.
+    coeff, *_ = np.linalg.lstsq(p, rot, rcond=None)
+    np.testing.assert_allclose(p @ coeff, rot, atol=1e-9 * np.abs(rot).max())
+
+
+def test_vcycle_preconditioner_is_symmetric(plate):
+    """<M r1, r2> == <r1, M r2> -- required for PCG correctness."""
+    import jax.numpy as jnp
+
+    from magnetite_tpu.fem.dia import (
+        assemble_dia,
+        block_jacobi_inverse_t,
+        build_dia_structure,
+        dia_diag_blocks,
+        make_dia_operator,
+    )
+    from magnetite_tpu.fem.element import element_stiffness_matrices
+
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    free = (~bca.u_known).astype(np.float64)
+    setup = build_amg_setup(plate.coords, plate.tris, E, NU, T, free)
+    amg = amg_device_arrays(setup, jnp.float64)
+
+    n = plate.num_nodes
+    s = build_dia_structure(plate.tris, n)
+    ke = element_stiffness_matrices(
+        jnp.asarray(plate.coords), jnp.asarray(plate.tris), E, NU, T
+    )
+    bands = assemble_dia(ke, s.slot_ids, n, s.n_diags)
+    offsets = tuple(int(o) for o in s.offsets)
+    matvec = make_dia_operator(bands, offsets)
+    free_t = jnp.asarray(free.T)
+
+    def op(v):
+        return free_t * matvec(free_t * v) + (1.0 - free_t) * v
+
+    jac0 = block_jacobi_inverse_t(dia_diag_blocks(bands, offsets), free_t)
+    m = make_amg_preconditioner(amg, op, jac0, layout="t")
+
+    rng = np.random.default_rng(0)
+    r1 = jnp.asarray(rng.standard_normal((2, n)))
+    r2 = jnp.asarray(rng.standard_normal((2, n)))
+    lhs = float(jnp.sum(m(r1) * r2))
+    rhs = float(jnp.sum(r1 * m(r2)))
+    assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), abs(rhs))
+
+
+def test_amg_beats_block_jacobi_and_matches(plate):
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    amg = solve_system(
+        plate, bca, MD, SolverOptions(preconditioner="amg", cg_rtol=1e-10)
+    )
+    bj = solve_system(
+        plate, bca, MD, SolverOptions(preconditioner="block_jacobi", cg_rtol=1e-10)
+    )
+    assert amg.iterations < bj.iterations / 5
+    assert amg.residual_rel < 1e-9
+    np.testing.assert_allclose(amg.u, bj.u, atol=1e-9 * np.abs(bj.u).max())
+
+
+def test_amg_with_mixed_precision_refinement(plate):
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    res = solve_system(
+        plate,
+        bca,
+        MD,
+        SolverOptions(preconditioner="amg", refine="on", cg_rtol=1e-11),
+    )
+    assert res.residual_rel < 1e-10
+    exact = solve_system(
+        plate, bca, MD, SolverOptions(preconditioner="amg", cg_rtol=1e-12)
+    )
+    np.testing.assert_allclose(
+        res.u, exact.u, atol=1e-8 * np.abs(exact.u).max()
+    )
+
+
+def test_auto_picks_amg_above_threshold(plate):
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    small = compile_problem(
+        plate, bca, MD, SolverOptions(amg_auto_min_nodes=10**9)
+    )
+    assert small.preconditioner == "block_jacobi"
+    big = compile_problem(plate, bca, MD, SolverOptions(amg_auto_min_nodes=1))
+    assert big.preconditioner == "amg"
+
+
+def test_amg_on_stencil_grid_raises():
+    from magnetite_tpu.meshing.generators import rect_mesh, tensile_bcs_for_rect
+
+    mesh = rect_mesh(12, 8)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    with pytest.raises(SolverError, match="amg"):
+        solve_system(mesh, bca, MD, SolverOptions(preconditioner="amg"))

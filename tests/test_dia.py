@@ -141,14 +141,16 @@ def test_solve_dia_unavailable_raises(metadata):
     bca = tensile_bcs_for_rect(scrambled.coords)
     with pytest.raises(SolverError, match="bands"):
         solve_system(
-            scrambled, bca, metadata, SolverOptions(operator="dia", max_diags=16)
+            scrambled, bca, metadata, SolverOptions(operator="dia", max_diags=16, renumber="off")
         )
     # auto falls through to the hybrid band+remainder operator...
-    auto = solve_system(scrambled, bca, metadata, SolverOptions(max_diags=16))
+    auto = solve_system(
+        scrambled, bca, metadata, SolverOptions(max_diags=16, renumber="off")
+    )
     assert auto.timings["operator"] == "hybrid"
     # ...and plain gather-ELL stays available explicitly
     result = solve_system(
-        scrambled, bca, metadata, SolverOptions(operator="ell", max_diags=16)
+        scrambled, bca, metadata, SolverOptions(operator="ell", max_diags=16, renumber="off")
     )
     assert result.timings["operator"] == "ell"
     np.testing.assert_allclose(

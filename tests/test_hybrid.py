@@ -94,7 +94,9 @@ def test_solve_hybrid_matches_oracle(metadata):
 def test_auto_prefers_hybrid_over_ell(metadata):
     mesh, _ = _scramble(rect_mesh(10, 10), seed=5)
     bca = tensile_bcs_for_rect(mesh.coords)  # works on scrambled coords too
-    result = solve_system(mesh, bca, metadata, SolverOptions(max_diags=12))
+    result = solve_system(
+        mesh, bca, metadata, SolverOptions(max_diags=12, renumber="off")
+    )
     assert result.timings["operator"] == "hybrid"
 
 
