@@ -192,6 +192,65 @@ def assemble_dia(ke: jax.Array, slot_ids, n_nodes: int, n_diags: int) -> jax.Arr
     return flat.reshape(n_diags, n_nodes, 2, 2).transpose(0, 2, 3, 1)
 
 
+def _pair_major_slots(slot_ids: jax.Array, n_elements: int) -> jax.Array:
+    """Reorder [E*9] a-major slot ids to the [3,3,E] pair-major layout of
+    element.pair_block_fields."""
+    return (
+        jnp.asarray(slot_ids).reshape(n_elements, 3, 3)
+        .transpose(1, 2, 0)
+        .reshape(-1)
+    )
+
+
+def _scatter_fields(fields, slot_ids, num_segments):
+    """Scatter the four scalar pair fields -> [2, 2, num_segments]."""
+    k00, k01, k10, k11 = fields
+
+    def scat(k):
+        return jax.ops.segment_sum(
+            k.reshape(-1), slot_ids, num_segments=num_segments
+        )
+
+    return jnp.stack(
+        [
+            jnp.stack([scat(k00), scat(k01)]),
+            jnp.stack([scat(k10), scat(k11)]),
+        ]
+    )
+
+
+def assemble_dia_fused(
+    coords, tris, e_mod, nu, t, slot_ids, n_nodes: int, n_diags: int
+) -> jax.Array:
+    """Stiffness + band scatter without the [E,6,6] tensor -> [D,2,2,N].
+
+    Four scalar segment_sums over [3,3,E] closed-form block fields (see
+    element.pair_block_fields) instead of one [E*9,2,2] block scatter --
+    the layout that keeps the f64 refinement path fast on TPU (2x2 block
+    scatters tile-pad catastrophically under f64 emulation)."""
+    from .element import pair_block_fields
+
+    fields = pair_block_fields(coords, tris, e_mod, nu, t)
+    slots = _pair_major_slots(slot_ids, tris.shape[0])
+    flat = _scatter_fields(fields, slots, n_diags * n_nodes)  # [2,2,D*N]
+    return flat.reshape(2, 2, n_diags, n_nodes).transpose(2, 0, 1, 3)
+
+
+def assemble_hybrid_fused(
+    coords, tris, e_mod, nu, t, slot_ids, n_nodes: int, n_diags: int, n_rem: int
+):
+    """Fused scalar-field version of `assemble_hybrid`:
+    -> (bands [D,2,2,N], rem [R,2,2])."""
+    from .element import pair_block_fields
+
+    fields = pair_block_fields(coords, tris, e_mod, nu, t)
+    slots = _pair_major_slots(slot_ids, tris.shape[0])
+    flat = _scatter_fields(fields, slots, n_diags * n_nodes + n_rem)
+    bands = flat[:, :, : n_diags * n_nodes].reshape(2, 2, n_diags, n_nodes)
+    rem = flat[:, :, n_diags * n_nodes :]  # [2, 2, R]
+    return bands.transpose(2, 0, 1, 3), rem.transpose(2, 0, 1)
+
+
 def dia_matvec(bands: jax.Array, offsets: tuple[int, ...], u: jax.Array):
     """y = K u with u, y in [2, N] layout.
 

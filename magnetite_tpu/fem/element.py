@@ -78,6 +78,43 @@ def stress_strain_matrix(youngs_modulus, poisson_ratio, dtype=jnp.float64):
     return d * (e / (one - nu * nu))
 
 
+def pair_block_fields(
+    coords: jax.Array,
+    tris: jax.Array,
+    youngs_modulus,
+    poisson_ratio,
+    part_thickness,
+) -> tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Closed-form per-node-pair stiffness blocks as four scalar fields.
+
+    Returns (k00, k01, k10, k11), each [3, 3, E] (a-major, E minormost):
+    the 2x2 block coupling local nodes (a, b) of every element, WITHOUT
+    materializing the [E,6,6] stiffness tensor. Same math as
+    `element_stiffness_matrices` (k_ab = t/(4A) * B_a^T D B_b expanded;
+    reference src/solver.rs:204-278) but laid out as TPU-tileable scalar
+    planes -- the f64 path of the irregular assemblies (DIA/hybrid/ELL)
+    needs this: [E*9,2,2] block scatters tile-pad 2x2 to 8x128 and run
+    ~13x slower under f64 emulation.
+    """
+    at = tris.astype(jnp.int32).T  # [3, E]
+    p = coords[at]  # [3, E, 2]
+    x, y = p[..., 0], p[..., 1]
+    beta = jnp.stack([y[1] - y[2], y[2] - y[0], y[0] - y[1]])  # [3, E]
+    gamma = jnp.stack([x[2] - x[1], x[0] - x[2], x[1] - x[0]])
+    area2 = x[0] * (y[1] - y[2]) + x[1] * (y[2] - y[0]) + x[2] * (y[0] - y[1])
+    coef = part_thickness / (2.0 * area2)  # t / (4A)
+    d0 = youngs_modulus / (1.0 - poisson_ratio * poisson_ratio)
+    d1 = poisson_ratio * d0
+    d2 = 0.5 * (1.0 - poisson_ratio) * d0
+    ba, bb = beta[:, None, :], beta[None, :, :]  # [3,3,E]
+    ga, gb = gamma[:, None, :], gamma[None, :, :]
+    k00 = coef * (d0 * ba * bb + d2 * ga * gb)
+    k01 = coef * (d1 * ba * gb + d2 * ga * bb)
+    k10 = coef * (d1 * ga * bb + d2 * ba * gb)
+    k11 = coef * (d0 * ga * gb + d2 * ba * bb)
+    return k00, k01, k10, k11
+
+
 def element_stiffness_matrices(
     coords: jax.Array,
     tris: jax.Array,

@@ -57,9 +57,10 @@ def mixed_precision_solve(
     """Solve A x = b (SPD) to f64-grade residual with f32 inner solves.
 
     op64 must be the same operator as op32 evaluated in f64 (same BC
-    reduction). `dot`, when given, is used for the f64 convergence check
-    (injectable for sharded psum reductions); the inner f32 PCG uses its
-    own default dot.
+    reduction). `dot`, when given, is used BOTH for the f64 convergence
+    check and inside the inner f32 PCG -- inject a psum dot and the whole
+    refinement runs sharded over a device mesh (each chip holding its row
+    band; see parallel/stencil_shard.sharded_stencil_refined_solve).
     """
     f64 = b.dtype
     dot64 = dot if dot is not None else (lambda a, c: jnp.sum(a * c))
@@ -86,12 +87,14 @@ def mixed_precision_solve(
         scale = jnp.sqrt(dot64(r, r))
         safe = jnp.where(scale > 0, scale, 1.0)
         r32 = (r / safe).astype(jnp.float32)
+        inner_kwargs = {"dot": dot} if dot is not None else {}
         inner = pcg(
             op32,
             r32,
             preconditioner=preconditioner32,
             rtol=inner_rtol,
             maxiter=inner_maxiter,
+            **inner_kwargs,
         )
         x = x + inner.x.astype(f64) * safe
         r, rnorm2 = residual2(x)

@@ -295,21 +295,17 @@ def _run_linear_solve(spec: CoreSpec, op, precond, b, x0, op32=None, precond32=N
 
 
 def _solve_hybrid(
-    spec: CoreSpec, coords, tris, rem_idx, slot_ids, u_known, u_value, f_value, e, nu, t, amg
+    spec: CoreSpec, coords, tris, rem_idx, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled
 ):
-    from .dia import assemble_hybrid, block_jacobi_inverse_t, hybrid_matvec
+    from .dia import block_jacobi_inverse_t, hybrid_matvec
 
     offsets = spec.params.offsets
-    n = coords.shape[0]
     rem_rows, rem_cols = rem_idx[0], rem_idx[1]
     free_t = (~u_known).astype(coords.dtype).T  # [2, N], N minormost
     u_fixed_t = u_value.T
     f_t = f_value.T
 
-    ke = element_stiffness_matrices(coords, tris, e, nu, t)
-    bands, rem_vals = assemble_hybrid(
-        ke, slot_ids, n, len(offsets), rem_idx.shape[1]
-    )
+    bands, rem_vals = assembled
 
     def make_op(bands_, rem_vals_, free_):
         def matvec(v):
@@ -358,22 +354,19 @@ def _solve_hybrid(
     )
 
 
-def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t, amg):
+def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled):
     from .dia import (
-        assemble_dia,
         block_jacobi_inverse_t,
         dia_diag_blocks,
         make_dia_operator,
     )
 
     offsets = spec.params.offsets
-    n = coords.shape[0]
     free_t = (~u_known).astype(coords.dtype).T
     u_fixed_t = u_value.T
     f_t = f_value.T
 
-    ke = element_stiffness_matrices(coords, tris, e, nu, t)
-    bands = assemble_dia(ke, slot_ids, n, len(offsets))
+    (bands,) = assembled
 
     def make_op(bands_, free_):
         matvec = make_dia_operator(bands_, offsets)
@@ -440,12 +433,9 @@ def _solve_dense(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, nu,
     )
 
 
-def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg):
-    n = coords.shape[0]
-    width = cols.shape[1]
+def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled):
     free = (~u_known).astype(coords.dtype)
-    ke = element_stiffness_matrices(coords, tris, e, nu, t)
-    ell = assemble_ell_arrays(ke, slot_ids, n, width)
+    (ell,) = assembled
     matvec = make_ell_operator(ell, cols)
     op = make_constrained_operator(matvec, free)
     diag_blocks = extract_block_diagonal(ell, cols)
@@ -507,21 +497,58 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
 
 
 @lru_cache(maxsize=32)
+def _assembly_core(spec: CoreSpec):
+    """Compile-time operator assembly for the irregular formats.
+
+    Assembly depends only on a CompiledProblem's fixed operands, so it runs
+    ONCE when the problem is compiled; solve calls start from the resident
+    assembled arrays. (The f64 segment_sum scatter behind mixed-precision
+    refinement costs ~10x the whole preconditioned solve -- measured on
+    v5e -- so re-running it per solve dominated everything.) The stencil
+    path keeps its fused in-solve assembly: structured scatter-free
+    assembly is a few rolls/FMAs."""
+
+    def asm(coords, tris, cols, slot_ids, e, nu, t):
+        from .dia import assemble_dia_fused, assemble_hybrid_fused
+
+        n = coords.shape[0]
+        if spec.mode == "dia":
+            return (
+                assemble_dia_fused(
+                    coords, tris, e, nu, t, slot_ids, n,
+                    len(spec.params.offsets),
+                ),
+            )
+        if spec.mode == "hybrid":
+            return assemble_hybrid_fused(
+                coords, tris, e, nu, t, slot_ids, n,
+                len(spec.params.offsets), cols.shape[1],
+            )
+        return (
+            assemble_ell_arrays_fused(
+                coords, tris, e, nu, t, slot_ids, n, cols.shape[1]
+            ),
+        )
+
+    return jax.jit(asm)
+
+
+@lru_cache(maxsize=32)
 def _jitted_core(spec: CoreSpec):
     """Build + cache the jitted solve core for one CoreSpec."""
 
-    def core(coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg):
+    def core(coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled):
         if spec.mode == "stencil":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_stencil(
                 spec, coords, tris, u_known, u_value, f_value, e, nu, t
             )
         elif spec.mode == "hybrid":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_hybrid(
-                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg
+                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled
             )
         elif spec.mode == "dia":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_dia(
-                spec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t, amg
+                spec, coords, tris, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled
             )
         elif spec.mode == "dense":
             u, ku, iters, resnorm, converged, bnorm, history = _solve_dense(
@@ -529,7 +556,7 @@ def _jitted_core(spec: CoreSpec):
             )
         else:
             u, ku, iters, resnorm, converged, bnorm, history = _solve_ell(
-                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg
+                spec, coords, tris, cols, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled
             )
 
         # Force recovery: unknown forces are K u rows (reference
@@ -550,6 +577,18 @@ def assemble_ell_arrays(ke, slot_ids, n_nodes: int, width: int):
     blocks = element_blocks(ke)
     flat = jax.ops.segment_sum(blocks, slot_ids, num_segments=n_nodes * width)
     return flat.reshape(n_nodes, width, 2, 2)
+
+
+def assemble_ell_arrays_fused(coords, tris, e, nu, t, slot_ids, n_nodes: int, width: int):
+    """ELL assembly from closed-form scalar pair fields (no [E,6,6] tensor;
+    see fem/dia.assemble_dia_fused for why this layout wins on TPU)."""
+    from .dia import _pair_major_slots, _scatter_fields
+    from .element import pair_block_fields
+
+    fields = pair_block_fields(coords, tris, e, nu, t)
+    slots = _pair_major_slots(slot_ids, tris.shape[0])
+    flat = _scatter_fields(fields, slots, n_nodes * width)  # [2,2,N*K]
+    return flat.reshape(2, 2, n_nodes, width).transpose(2, 3, 0, 1)
 
 
 def solve_system(
@@ -573,10 +612,13 @@ def solve_system(
 class CompiledProblem:
     """A mesh+BC system compiled and resident on device.
 
-    `solve()` runs the full pipeline (assembly + PCG + recovery) and fetches
-    results to host. `solve_device()` returns the raw device outputs
-    (u, f, sigma, stress, von_mises, iters, resnorm, converged) without any
-    host transfer -- the serving/benchmark path.
+    `solve()` runs the device pipeline and fetches results to host.
+    `solve_device()` returns the raw device outputs (u, f, sigma, stress,
+    von_mises, iters, resnorm, converged) without any host transfer -- the
+    serving/benchmark path. Irregular operator formats (dia/hybrid/ell)
+    assemble once at compile time (timings["assemble_s"]) and solves start
+    from the resident operator; the stencil format assembles in-solve
+    (scatter-free, a few rolls/FMAs).
     """
 
     core: object
@@ -890,6 +932,18 @@ def compile_problem(
     )
     jax.block_until_ready(args[:7])
     timings["upload_s"] = time.perf_counter() - t0
+
+    # irregular formats: assemble the operator ONCE at compile time (the
+    # refine path's f64 scatter would otherwise dominate every solve call)
+    assembled = ()
+    if mode in ("dia", "hybrid", "ell"):
+        t0 = time.perf_counter()
+        assembled = _assembly_core(spec)(
+            args[0], args[1], args[2], args[3], args[7], args[8], args[9]
+        )
+        jax.block_until_ready(assembled)
+        timings["assemble_s"] = time.perf_counter() - t0
+    args = args + (assembled,)
 
     return CompiledProblem(
         core=core,

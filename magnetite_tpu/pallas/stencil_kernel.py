@@ -283,13 +283,16 @@ def _matvec_blocked(
     return out[:, :rows, :]
 
 
-def make_pallas_stencil_operator(stencil: jax.Array, wrap: bool):
+def make_pallas_stencil_operator(
+    stencil: jax.Array, wrap: bool, interpret: bool = False
+):
     """Pre-tile once, return op(u) for hot loops (CG / multigrid smoothing).
 
     Call under jit with a loop-invariant stencil: XLA hoists the pre-tile
     transpose out of the solver loop, so it costs one band pass per solve.
     Grids whose u fits VMEM get the resident-u kernel; larger grids the
-    row-blocked one.
+    row-blocked one. interpret=True emulates the kernel in pure JAX (CPU
+    parity tests, incl. inside shard_map).
     """
     rows, cols = stencil.shape[-2], stencil.shape[-1]
     if _resident_applicable(rows, cols):
@@ -297,7 +300,7 @@ def make_pallas_stencil_operator(stencil: jax.Array, wrap: bool):
         stencil_tiled = pretile_stencil(stencil, tr)
 
         def op(u: jax.Array) -> jax.Array:
-            return _matvec_tiled(stencil_tiled, u, rows, wrap)
+            return _matvec_tiled(stencil_tiled, u, rows, wrap, interpret=interpret)
 
         return op
 
@@ -305,7 +308,7 @@ def make_pallas_stencil_operator(stencil: jax.Array, wrap: bool):
     stencil_tiled = pretile_stencil(stencil, tr)
 
     def op(u: jax.Array) -> jax.Array:
-        return _matvec_blocked(stencil_tiled, u, rows, wrap)
+        return _matvec_blocked(stencil_tiled, u, rows, wrap, interpret=interpret)
 
     return op
 

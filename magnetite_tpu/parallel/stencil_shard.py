@@ -10,8 +10,13 @@ one 9-point matvec needs exactly ONE row of halo from each neighbor:
     per iteration: 2 x jax.lax.ppermute of a [2, 1, C] row  (+ psum scalars)
 
 i.e. 8*C bytes over ICI per step vs the 8*R*C all_gather -- communication
-shrinks by the shard count, and the local compute is the same roll/FMA
-stencil kernel that runs at HBM roofline on one chip.
+shrinks by the shard count. The shard-local compute runs through the SAME
+single-chip operator stack as the unsharded solver
+(fem/stencil.make_stencil_operator): on TPU, when the shard shape admits it,
+that is the pre-tiled Pallas band kernel at ~90% of HBM roofline; otherwise
+the XLA roll/FMA formulation (~27% of roofline -- the honest gap is
+measured in bench.py as spmv_gbps vs spmv_xla_gbps). The halo rows enter as
+one zero-row stencil pad, so the local kernel needs no halo-awareness.
 
 Grid rows are never periodic (wrap is in columns, unsharded), so shard 0 /
 shard n-1 receive zeros from the missing neighbor -- exactly the zero
@@ -166,25 +171,70 @@ def prepare_sharded_stencil_problem(
     )
 
 
-def halo_stencil_matvec(
-    st_local: jax.Array,  # [9, 2, 2, Rl, C]
-    u_local: jax.Array,  # [2, Rl, C]
-    axis: str,
-    wrap_cols: bool,
-) -> jax.Array:
-    """y = K u per shard: 2 single-row ppermutes + local rolls/FMAs."""
-    n = jax.lax.axis_size(axis)
-    rl, cols = u_local.shape[-2], u_local.shape[-1]
+def exchange_halo_rows(u_local: jax.Array, axis: str) -> jax.Array:
+    """[2, Rl, C] -> [2, Rl+2, C] with one neighbor row above and below.
 
-    # halo rows: shard i's extended field needs the last row of shard i-1
-    # above and the first row of shard i+1 below; edge shards get zeros
+    Shard i receives the last row of shard i-1 and the first row of shard
+    i+1; edge shards get zeros -- exactly the zero row-padding semantics of
+    the single-device operator (fem/stencil.py shift2d)."""
+    n = jax.lax.axis_size(axis)
     from_above = jax.lax.ppermute(
         u_local[:, -1:, :], axis, [(j, j + 1) for j in range(n - 1)]
     )
     from_below = jax.lax.ppermute(
         u_local[:, :1, :], axis, [(j + 1, j) for j in range(n - 1)]
     )
-    u_ext = jnp.concatenate([from_above, u_local, from_below], axis=1)
+    return jnp.concatenate([from_above, u_local, from_below], axis=1)
+
+
+def make_halo_stencil_operator(
+    st_local: jax.Array,  # [9, 2, 2, Rl, C]
+    axis: str,
+    wrap_cols: bool,
+    impl: str = "auto",
+):
+    """Shard-local op(u) = K u: halo exchange + the single-chip kernel.
+
+    The local stencil is padded with one ZERO row above and below (done once
+    at closure creation, so the pre-tile/pad never re-runs inside CG loops);
+    applying the ordinary single-device operator to the halo-extended field
+    then computes exactly the sharded rows -- output rows 0 and Rl+1 are
+    zero by construction and sliced off. impl: "auto" dispatches to the
+    Pallas band kernel on TPU when the shard shape admits it (f32, cols a
+    lane multiple), "xla" forces the roll formulation, "pallas_interpret"
+    runs the Pallas kernel in interpreter mode (CPU parity tests).
+    """
+    from ..fem.stencil import make_stencil_operator
+
+    rl = st_local.shape[-2]
+    st_ext = jnp.pad(st_local, ((0, 0), (0, 0), (0, 0), (1, 1), (0, 0)))
+    if impl == "pallas_interpret":
+        from ..pallas.stencil_kernel import make_pallas_stencil_operator
+
+        local_op = make_pallas_stencil_operator(
+            st_ext, wrap_cols, interpret=True
+        )
+    else:
+        local_op = make_stencil_operator(st_ext, wrap_cols, impl=impl)
+
+    def op(u_local: jax.Array) -> jax.Array:
+        y_ext = local_op(exchange_halo_rows(u_local, axis))
+        return jax.lax.slice_in_dim(y_ext, 1, 1 + rl, axis=1)
+
+    return op
+
+
+def halo_stencil_matvec(
+    st_local: jax.Array,  # [9, 2, 2, Rl, C]
+    u_local: jax.Array,  # [2, Rl, C]
+    axis: str,
+    wrap_cols: bool,
+) -> jax.Array:
+    """One-shot y = K u per shard (XLA rolls): 2 single-row ppermutes +
+    local rolls/FMAs. Loops should hold a `make_halo_stencil_operator`
+    closure instead, which pre-tiles the Pallas layout once."""
+    rl = u_local.shape[-2]
+    u_ext = exchange_halo_rows(u_local, axis)
 
     y0 = jnp.zeros_like(u_local[0])
     y1 = jnp.zeros_like(u_local[1])
@@ -224,6 +274,7 @@ def _sharded_mg_preconditioner(
     rows: int,  # true (un-padded) row count
     sweeps: int = 2,
     omega: float = 0.7,
+    impl: str = "auto",
 ):
     """V-cycle with SHARDED fine-level smoothing + REPLICATED coarse solve.
 
@@ -256,10 +307,11 @@ def _sharded_mg_preconditioner(
     coarse_cycle = (
         vcycle_preconditioner(levels, wrap) if levels else None
     )
+    fine_op = make_halo_stencil_operator(reduced_local, axis, wrap, impl)
 
     def smooth(e, r):
         for _ in range(sweeps):
-            res = r - halo_stencil_matvec(reduced_local, e, axis, wrap)
+            res = r - fine_op(e)
             e = e + omega * _apply_dinv(diag_inv_local, res)
         return e
 
@@ -268,7 +320,7 @@ def _sharded_mg_preconditioner(
         e = smooth(jnp.zeros_like(r), r)
         if coarse_cycle is None:
             return e
-        res = r - halo_stencil_matvec(reduced_local, e, axis, wrap)
+        res = r - fine_op(e)
         # one gather of the fine residual; coarse correction is replicated
         res_full = jax.lax.all_gather(res, axis, axis=1, tiled=True)
         ec = coarse_cycle(restrict(res_full[:, :rows, :], wrap))
@@ -300,16 +352,15 @@ def _local_pcg(
     rtol,
     maxiter,
     preconditioner,
+    impl="auto",
 ):
-    def raw_mv(v):
-        return halo_stencil_matvec(raw, v, axis, wrap)
-
-    def op(v):
-        return halo_stencil_matvec(reduced, v, axis, wrap)
+    raw_mv = make_halo_stencil_operator(raw, axis, wrap, impl)
+    op = make_halo_stencil_operator(reduced, axis, wrap, impl)
 
     if preconditioner == "multigrid":
         precond = _sharded_mg_preconditioner(
-            reduced, diag_inv, coarse_levels, axis=axis, wrap=wrap, rows=rows
+            reduced, diag_inv, coarse_levels, axis=axis, wrap=wrap, rows=rows,
+            impl=impl,
         )
     else:
 
@@ -360,11 +411,13 @@ def sharded_stencil_pcg_solve(
     rtol: float = 1e-6,
     maxiter: int = 100_000,
     preconditioner: str = "auto",
+    impl: str = "auto",
 ):
     """Row-sharded PCG. preconditioner: "auto" = multigrid when the grid can
     coarsen (sharded fine smoothing + replicated coarse V-cycle), else
-    block-Jacobi. Returns (CGResult, ku) with grid-shaped row-sharded
-    x [2, Rp, C] and ku = K x for force recovery."""
+    block-Jacobi. impl selects the shard-local kernel
+    (make_halo_stencil_operator). Returns (CGResult, ku) with grid-shaped
+    row-sharded x [2, Rp, C] and ku = K x for force recovery."""
     from ..fem.multigrid import can_coarsen
 
     axis = problem.axis
@@ -395,10 +448,160 @@ def sharded_stencil_pcg_solve(
                 rtol=rtol,
                 maxiter=maxiter,
                 preconditioner=preconditioner,
+                impl=impl,
             ),
             mesh=problem.device_mesh,
             in_specs=(spec5, spec5, spec3, spec3, spec3, spec4, coarse_specs),
             out_specs=(spec3, spec3, P(), P(), P()),
+            # pallas_call inside shard_map requires vma checking off
+            check_vma=False,
+        )
+    )
+    x, ku, iters, resnorm, converged = solve(
+        problem.reduced,
+        problem.raw,
+        problem.free_g,
+        problem.u_fixed_g,
+        problem.f_g,
+        problem.diag_inv,
+        coarse_levels,
+    )
+    return (
+        CGResult(
+            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+        ),
+        ku,
+    )
+
+
+def _local_refined(
+    reduced64,
+    raw64,
+    free_g,
+    u_fixed_g,
+    f_g,
+    diag_inv64,
+    coarse_levels,
+    *,
+    axis,
+    wrap,
+    rows,
+    rtol,
+    inner_maxiter,
+    max_outer,
+    preconditioner,
+    impl,
+):
+    """Shard-local mixed-precision refinement body (runs under shard_map).
+
+    f64 operator + residual checks, f32 inner halo-PCG; every reduction is
+    a psum so the refinement loop converges on the GLOBAL residual."""
+    from ..fem.refine import mixed_precision_solve
+
+    f32 = jnp.float32
+    reduced32 = reduced64.astype(f32)
+    diag_inv32 = diag_inv64.astype(f32)
+    # f64 operators take the XLA roll path (the Pallas kernel is f32-only);
+    # they run only a handful of times per solve
+    op64 = make_halo_stencil_operator(reduced64, axis, wrap, "xla")
+    raw_mv64 = make_halo_stencil_operator(raw64, axis, wrap, "xla")
+    op32 = make_halo_stencil_operator(reduced32, axis, wrap, impl)
+
+    if preconditioner == "multigrid":
+        coarse32 = tuple(
+            (st.astype(f32), di.astype(f32)) for st, di in coarse_levels
+        )
+        precond32 = _sharded_mg_preconditioner(
+            reduced32, diag_inv32, coarse32, axis=axis, wrap=wrap, rows=rows,
+            impl=impl,
+        )
+    else:
+
+        def precond32(r):
+            return _apply_dinv(diag_inv32, r)
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), axis)
+
+    b = free_g * (f_g - raw_mv64((1.0 - free_g) * u_fixed_g)) + (
+        1.0 - free_g
+    ) * u_fixed_g
+    result = mixed_precision_solve(
+        op64,
+        op32,
+        b,
+        preconditioner32=precond32,
+        x0=u_fixed_g,
+        rtol=rtol,
+        inner_maxiter=inner_maxiter,
+        max_outer=max_outer,
+        dot=dot,
+    )
+    ku = raw_mv64(result.x)
+    return (
+        result.x,
+        ku,
+        result.inner_iterations,
+        result.residual_norm,
+        result.converged,
+    )
+
+
+def sharded_stencil_refined_solve(
+    problem: ShardedStencilProblem,
+    rtol: float = 1e-8,
+    inner_maxiter: int = 200,
+    max_outer: int = 8,
+    preconditioner: str = "auto",
+    impl: str = "auto",
+):
+    """Row-sharded f64/f32 mixed-precision refinement: 1e-8-grade residuals
+    on a device mesh. The problem must be prepared with dtype=np.float64
+    (f64 operator + residuals; inner solves cast to f32 per shard). Returns
+    (CGResult, ku) like `sharded_stencil_pcg_solve`, with iterations = total
+    f32 inner iterations."""
+    from ..fem.multigrid import can_coarsen
+
+    if problem.reduced.dtype != jnp.float64:
+        raise SolverError(
+            "sharded refined solve needs an f64 problem: prepare with "
+            "dtype=np.float64 (and jax_enable_x64)"
+        )
+    axis = problem.axis
+    if preconditioner == "auto":
+        preconditioner = (
+            "multigrid"
+            if can_coarsen(problem.rows, problem.cols, problem.wrap_cols)
+            else "block_jacobi"
+        )
+    coarse_levels = (
+        _build_coarse_levels(problem)
+        if preconditioner == "multigrid"
+        else ()
+    )
+
+    spec5 = P(None, None, None, axis, None)
+    spec4 = P(None, None, axis, None)
+    spec3 = P(None, axis, None)
+    coarse_specs = tuple((P(), P()) for _ in coarse_levels)
+
+    solve = jax.jit(
+        jax.shard_map(
+            partial(
+                _local_refined,
+                axis=axis,
+                wrap=problem.wrap_cols,
+                rows=problem.rows,
+                rtol=rtol,
+                inner_maxiter=inner_maxiter,
+                max_outer=max_outer,
+                preconditioner=preconditioner,
+                impl=impl,
+            ),
+            mesh=problem.device_mesh,
+            in_specs=(spec5, spec5, spec3, spec3, spec3, spec4, coarse_specs),
+            out_specs=(spec3, spec3, P(), P(), P()),
+            check_vma=False,
         )
     )
     x, ku, iters, resnorm, converged = solve(

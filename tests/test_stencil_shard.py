@@ -162,3 +162,93 @@ def test_sharded_stencil_pcg_matches_single_device(metadata, device_mesh, case):
         rtol=1e-6,
         atol=1e-6 * np.abs(reference.f).max(),
     )
+
+
+def test_halo_operator_pallas_interpret_parity(metadata, device_mesh):
+    """The sharded Pallas path (zero-row-padded local stencil + halo
+    exchange) must match the XLA roll formulation exactly -- interpreter
+    mode stands in for the TPU kernel on the CPU mesh."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from magnetite_tpu.parallel.stencil_shard import make_halo_stencil_operator
+
+    # cols = 128 (lane multiple, the Pallas kernel's layout requirement)
+    mesh = rect_mesh(127, 23)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    problem = prepare_sharded_stencil_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float32
+    )
+    rows, cols = mesh.grid_shape
+    rows_pad = problem.free_g.shape[1]
+
+    rng = np.random.default_rng(1)
+    v = np.zeros((2, rows_pad, cols), dtype=np.float32)
+    v[:, :rows, :] = rng.standard_normal((2, rows, cols)).astype(np.float32)
+    v_d = jax.device_put(v, NamedSharding(device_mesh, P(None, "rows", None)))
+
+    def local_mv(st, u, impl):
+        return make_halo_stencil_operator(st, "rows", mesh.wrap_cols, impl)(u)
+
+    def run(impl):
+        mv = jax.jit(
+            jax.shard_map(
+                partial(local_mv, impl=impl),
+                mesh=device_mesh,
+                in_specs=(
+                    P(None, None, None, "rows", None),
+                    P(None, "rows", None),
+                ),
+                out_specs=P(None, "rows", None),
+                check_vma=False,
+            )
+        )
+        return np.asarray(mv(problem.reduced, v_d))
+
+    got = run("pallas_interpret")
+    want = run("xla")
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-6 * scale)
+
+
+def test_sharded_refined_solve_reaches_1e8(metadata, device_mesh):
+    """Sharded mixed-precision refinement: f64 residual + f32 inner halo-PCG
+    reaches 1e-8-grade GLOBAL relative residual and matches the
+    single-device refined solve."""
+    from magnetite_tpu.parallel.stencil_shard import (
+        sharded_stencil_refined_solve,
+    )
+
+    mesh, bca = _plate_case(32, 32)  # coarsenable
+    problem = prepare_sharded_stencil_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float64
+    )
+    result, ku = sharded_stencil_refined_solve(problem, rtol=1e-9)
+    assert bool(result.converged)
+
+    rows, cols = mesh.grid_shape
+    u_sharded = np.asarray(result.x)[:, :rows, :].reshape(2, -1).T
+    reference = solve_system(
+        mesh, bca, metadata,
+        SolverOptions(dtype="float32", refine="on", cg_rtol=1e-9),
+    )
+    assert reference.residual_rel <= 1e-9
+    scale = np.abs(reference.u).max()
+    np.testing.assert_allclose(
+        u_sharded, reference.u, rtol=1e-7, atol=1e-8 * scale
+    )
+
+
+def test_sharded_refined_requires_f64(metadata, device_mesh):
+    from magnetite_tpu.errors import SolverError
+    from magnetite_tpu.parallel.stencil_shard import (
+        sharded_stencil_refined_solve,
+    )
+
+    mesh, bca = _plate_case(16, 16)
+    problem = prepare_sharded_stencil_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float32
+    )
+    with pytest.raises(SolverError, match="f64"):
+        sharded_stencil_refined_solve(problem)
