@@ -160,8 +160,15 @@ def assemble_stencil_structured(
     rows: int,
     cols: int,
     wrap_cols: bool,
+    dcoefs=None,
 ) -> jax.Array:
     """Scatter-free assembly for canonical generator grids -> [9,2,2,R,C].
+
+    `dcoefs`, when given, overrides the plane-stress coefficients
+    (d0, d1, d2) of D = [[d0,d1,0],[d1,d0,0],[0,0,d2]] directly -- the
+    stencil is LINEAR in them, which is how material design sweeps assemble
+    three basis stencils once (unit d0 / d1 / d2, thickness 1) and combine
+    them per lane with scalar weights (parallel/sweep.material_sweep_solve).
 
     Connectivity is implied by the grid (two triangles per cell along the
     (r,t)-(r+1,t+1) diagonal, the convention of meshing.generators), so the
@@ -185,9 +192,12 @@ def assemble_stencil_structured(
             return jnp.roll(v, -dt, axis=1) if dt else v
         return v[:, dt : dt + ct]
 
-    d0 = e_mod / (1.0 - nu * nu)
-    d1 = nu * d0
-    d2 = 0.5 * (1.0 - nu) * d0
+    if dcoefs is None:
+        d0 = e_mod / (1.0 - nu * nu)
+        d1 = nu * d0
+        d2 = 0.5 * (1.0 - nu) * d0
+    else:
+        d0, d1, d2 = dcoefs
 
     stencil = jnp.zeros((9, 2, 2, rows, cols), dtype=coords.dtype)
     for tri in _CELL_TRIS:

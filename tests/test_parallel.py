@@ -268,3 +268,93 @@ def test_sharded_2d_batch_sweep_matches_individual(metadata):
         np.testing.assert_allclose(
             u_batch[i, : mesh.num_nodes], ref.u, atol=1e-8 * scale
         )
+
+
+def test_material_sweep_matches_individual_solves(metadata):
+    """True material sweep: per-lane (E, nu, t) via the basis-stencil
+    decomposition, exact per-lane multigrid. Parity vs one-at-a-time
+    solve_system calls (VERDICT bar: nu in [0.25, 0.35] to 1e-5)."""
+    from magnetite_tpu.bc import BCArrays
+    from magnetite_tpu.config import ModelMetadata
+    from magnetite_tpu.parallel.sweep import material_sweep_solve
+
+    mesh = rect_mesh(32, 16, width=2.0)  # grid (17, 33): coarsenable
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    nus = np.array([0.25, 0.29, 0.33, 0.35])
+    e_moduli = np.array([69e9, 100e9, 69e9, 200e9])
+    thicknesses = np.array([0.5, 0.5, 0.25, 1.0])
+    b = nus.size
+    u_values = np.tile(base.u_value[None], (b, 1, 1))
+    f_values = np.zeros((b, mesh.num_nodes, 2))
+
+    result = material_sweep_solve(
+        mesh, base, u_values, f_values, e_moduli, nus, thicknesses,
+        iterations=25, dtype=np.float64,
+    )
+    rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
+    assert rel.max() < 1e-8
+
+    for i in range(b):
+        md_i = ModelMetadata(
+            youngs_modulus=e_moduli[i],
+            poisson_ratio=nus[i],
+            part_thickness=thicknesses[i],
+            characteristic_length_min=0.0,
+            characteristic_length_max=0.3,
+        )
+        ref = solve_system(mesh, base, md_i, SolverOptions(cg_rtol=1e-11))
+        scale = np.abs(ref.u).max()
+        np.testing.assert_allclose(
+            np.asarray(result.u)[i], ref.u, atol=1e-5 * scale
+        )
+        np.testing.assert_allclose(
+            np.asarray(result.von_mises)[i], ref.von_mises, rtol=1e-5
+        )
+
+
+def test_material_sweep_force_driven_lane(metadata):
+    """A force-driven lane: u scales as 1/(E t) -- catches weight mixups."""
+    from magnetite_tpu.parallel.sweep import material_sweep_solve
+
+    mesh = rect_mesh(32, 16, width=2.0)
+    n = mesh.num_nodes
+    right = np.isclose(mesh.coords[:, 0], 2.0)
+    left = np.isclose(mesh.coords[:, 0], 0.0)
+    u_known = np.zeros((n, 2), dtype=bool)
+    u_known[left] = True
+    from magnetite_tpu.bc import BCArrays
+
+    base = BCArrays(
+        u_known=u_known,
+        u_value=np.zeros((n, 2)),
+        f_value=np.zeros((n, 2)),
+    )
+    f_values = np.zeros((2, n, 2))
+    f_values[:, right, 0] = 1e6
+    u_values = np.zeros((2, n, 2))
+    e_moduli = np.array([69e9, 138e9])  # lane 1 = 2x stiffer
+    nus = np.array([0.3, 0.3])
+    thicknesses = np.array([0.5, 0.5])
+
+    result = material_sweep_solve(
+        mesh, base, u_values, f_values, e_moduli, nus, thicknesses,
+        iterations=25, dtype=np.float64,
+    )
+    u = np.asarray(result.u)
+    np.testing.assert_allclose(u[0], 2.0 * u[1], rtol=1e-6, atol=1e-12)
+
+
+def test_material_sweep_requires_canonical_grid(metadata):
+    from magnetite_tpu.meshing.core import Mesh
+    from magnetite_tpu.parallel.sweep import material_sweep_solve
+
+    mesh = rect_mesh(6, 4)
+    plain = Mesh(coords=mesh.coords, tris=mesh.tris)
+    base = tensile_bcs_for_rect(mesh.coords)
+    with pytest.raises(ValueError, match="canonical"):
+        material_sweep_solve(
+            plain, base,
+            np.zeros((1, mesh.num_nodes, 2)),
+            np.zeros((1, mesh.num_nodes, 2)),
+            np.array([69e9]), np.array([0.3]), np.array([0.5]),
+        )
