@@ -5,14 +5,22 @@ Headline: linkedin-logo example (the reference's only published number:
 pipeline (element stiffness + band assembly + preconditioned CG + stress
 recovery) in ONE jit call on one TPU chip. Extras:
 
-  plate_*  -- 1M-element plate-with-hole, mixed-precision refined solve to
-              1e-8 RELATIVE residual (BASELINE.json north star), with the
-              relative residual reported.
+  linkedin_fine_* -- the same example at 4x finer characteristic length
+              (mesh-fineness sensitivity next to the headline number).
+  plate_*  -- 1M-element structured plate-with-hole, mixed-precision
+              refined solve to 1e-8 RELATIVE residual (BASELINE.json north
+              star), with the relative residual reported.
+  plate4m_* -- the 4M-element scaling point (README claim, recorded).
+  unstructured_* -- ~1M-element DELAUNAY-meshed plate (arbitrary-geometry
+              path): DIA bands + smoothed-aggregation AMG, f64 CG with the
+              f32 V-cycle, to 1e-8 relative.
   spmv_*   -- stencil SpMV roofline: effective GB/s of the Pallas kernel,
               measured dispatch-free (scan-length slope: time L2 and L1
               chained matvecs inside one jit, divide the difference), vs
               the v5e's 819 GB/s HBM peak. Target >= 50%.
-  sweep_*  -- 4096-variant vmapped design sweep.
+  sweep_*  -- 4096-variant load sweep (shared multigrid hierarchy).
+  material_sweep_* -- 4096-variant TRUE material sweep: per-lane
+              (E, nu, t) via basis stencils, exact per-lane multigrid.
 
 Timing notes: the axon tunnel adds ~26 ms per-dispatch round trip, so all
 timed runs keep inputs AND outputs on device and sync on a scalar; the SpMV
@@ -84,6 +92,125 @@ def bench_linkedin(extras):
     extras["linkedin_cg_iters"] = int(np.asarray(out[5]))
     extras["linkedin_operator"] = problem.mode
     return t
+
+
+def bench_linkedin_fine(extras):
+    """linkedin-logo at 4x finer characteristic length (~16x the elements):
+    quantifies mesh-fineness sensitivity next to the headline number (the
+    reference's 0.286 s is on an unspecified 'pretty fine' gmsh mesh)."""
+    from dataclasses import replace
+
+    from magnetite_tpu.config import SolverOptions, load_simulation_input
+    from magnetite_tpu.fem.solve import compile_problem
+    from magnetite_tpu.meshing import runner
+
+    ex = "/root/reference/examples/linkedin-logo"
+    sim = load_simulation_input(f"{ex}/input.json")
+    md = replace(
+        sim.metadata,
+        characteristic_length_min=sim.metadata.characteristic_length_min / 4,
+        characteristic_length_max=sim.metadata.characteristic_length_max / 4,
+    )
+    sim = replace(sim, metadata=md)
+    mesh, bca = runner.run(
+        [f"{ex}/linkedin.svg"], sim, backend="delaunay", log=lambda m: None
+    )
+    problem = compile_problem(
+        mesh, bca, sim.metadata,
+        SolverOptions(dtype="float32", cg_rtol=1e-6),
+    )
+    t, out = _time_device_solve(problem, repeats=5)
+    extras["linkedin_fine_nodes"] = mesh.num_nodes
+    extras["linkedin_fine_elements"] = mesh.num_elements
+    extras["linkedin_fine_cg_iters"] = int(np.asarray(out[5]))
+    extras["linkedin_fine_operator"] = problem.mode
+    extras["linkedin_fine_preconditioner"] = problem.preconditioner
+    extras["linkedin_fine_solve_s"] = round(t, 4)
+
+
+def bench_unstructured_1m(extras):
+    """~1M-element DELAUNAY-meshed plate-with-hole to 1e-8 relative.
+
+    The reference's actual use case at scale: arbitrary geometry -> built-in
+    mesher -> banded DIA operator + smoothed-aggregation AMG -> f64 CG with
+    the f32 V-cycle preconditioner (SolverOptions refine='on'). This is the
+    unstructured counterpart of bench_plate_1m's generator-grid solve."""
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from magnetite_tpu.config import (
+        BoundaryRegion,
+        BoundaryRule,
+        BoundaryTarget,
+        ModelMetadata,
+        SolverOptions,
+    )
+    from magnetite_tpu.fem.solve import compile_problem
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    h = 0.00258  # ~1M elements over the 2.88-unit^2 domain
+    t0 = time.perf_counter()
+    mesh = triangulate([outer, hole], 0.0, h)
+    extras["unstructured_mesh_gen_s"] = round(time.perf_counter() - t0, 2)
+    rules = (
+        BoundaryRule(
+            "left", BoundaryRegion(x_max=1e-6), BoundaryTarget(ux=0.0, uy=0.0)
+        ),
+        BoundaryRule(
+            "right",
+            BoundaryRegion(x_min=3.0 - 1e-6),
+            BoundaryTarget(ux=0.01, fy=0.0),
+        ),
+    )
+    bca = apply_boundary_conditions(mesh.coords, rules)
+    metadata = ModelMetadata(69e9, 0.33, 0.5, 0.0, h)
+
+    t0 = time.perf_counter()
+    problem = compile_problem(
+        mesh,
+        bca,
+        metadata,
+        SolverOptions(dtype="float32", cg_rtol=1e-8, refine="on"),
+    )
+    extras["unstructured_prep_s"] = round(time.perf_counter() - t0, 2)
+    extras["unstructured_amg_setup_s"] = round(
+        problem.timings.get("amg_setup_s", 0.0), 2
+    )
+    extras["unstructured_assemble_s"] = round(
+        problem.timings.get("assemble_s", 0.0), 2
+    )
+
+    t, out = _time_device_solve(problem, repeats=3)
+    resnorm = float(np.asarray(out[6]))
+    bnorm = float(np.asarray(out[8]))
+    extras["unstructured_elements"] = mesh.num_elements
+    extras["unstructured_nodes"] = mesh.num_nodes
+    extras["unstructured_solve_s"] = round(t, 3)
+    extras["unstructured_cg_iters"] = int(np.asarray(out[5]))
+    extras["unstructured_operator"] = problem.mode
+    extras["unstructured_preconditioner"] = problem.preconditioner
+    extras["unstructured_residual_rel"] = resnorm / bnorm
+
+
+def bench_plate_4m(extras):
+    """4M-element structured plate (the README scaling claim, recorded)."""
+    from magnetite_tpu.config import ModelMetadata, SolverOptions
+    from magnetite_tpu.fem.solve import compile_problem
+
+    t0 = time.perf_counter()
+    mesh, bca = _plate_problem(1024, 2048)  # 4,194,304 elements
+    extras["plate4m_mesh_gen_s"] = round(time.perf_counter() - t0, 2)
+    metadata = ModelMetadata(69e9, 0.33, 0.5, 0.0, 0.01)
+    problem = compile_problem(
+        mesh, bca, metadata, SolverOptions(dtype="float32", cg_rtol=1e-8)
+    )
+    t, out = _time_device_solve(problem, repeats=1)
+    resnorm = float(np.asarray(out[6]))
+    bnorm = float(np.asarray(out[8]))
+    extras["plate4m_elements"] = mesh.num_elements
+    extras["plate4m_solve_s"] = round(t, 3)
+    extras["plate4m_inner_iters"] = int(np.asarray(out[5]))
+    extras["plate4m_residual_rel"] = resnorm / bnorm
 
 
 def bench_plate_1m(extras):
@@ -227,12 +354,56 @@ def bench_sweep(extras):
         times.append(time.perf_counter() - t0)
     t = float(np.min(times))  # min: tunnel hiccups only ever add time
     extras["sweep_variants"] = b
+    extras["sweep_impl"] = "stencil_mg_lanes"  # compile_sweep's only mode
     extras["sweep_iterations"] = iters
     extras["sweep_mesh_elements"] = mesh.num_elements
     extras["sweep_warm_s"] = round(t, 3)
     extras["sweep_solves_per_s"] = round(b / t)
     extras["sweep_first_s"] = round(t_total, 2)
     extras["sweep_rel_residual_max"] = float(rel.max())
+
+
+def bench_material_sweep(extras):
+    """4096-variant TRUE material sweep: per-lane (E, nu, t) via the
+    basis-stencil decomposition with exact per-lane multigrid
+    (parallel/sweep.compile_material_sweep)."""
+    from magnetite_tpu.meshing.generators import rect_mesh, tensile_bcs_for_rect
+    from magnetite_tpu.parallel.sweep import compile_material_sweep
+
+    mesh = rect_mesh(64, 32, width=2.0)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    b = 4096
+    iters = 20
+
+    def batch(seed):
+        rng = np.random.default_rng(seed)
+        u_values = np.tile(base.u_value[None], (b, 1, 1)).astype(np.float32)
+        f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
+        return (
+            u_values,
+            f_values,
+            rng.uniform(40e9, 250e9, b).astype(np.float32),
+            rng.uniform(0.22, 0.38, b).astype(np.float32),
+            rng.uniform(0.2, 1.0, b).astype(np.float32),
+        )
+
+    compiled = compile_material_sweep(mesh, base, iterations=iters)
+    result = compiled.solve(*batch(0))
+    float(np.asarray(result.residual_norm[0]))  # sync (compile included)
+
+    times = []
+    for seed in (1, 2, 3):
+        args = batch(seed)
+        t0 = time.perf_counter()
+        result = compiled.solve(*args)
+        rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
+        times.append(time.perf_counter() - t0)
+    t = float(np.min(times))
+    extras["material_sweep_variants"] = b
+    extras["material_sweep_iterations"] = iters
+    extras["material_sweep_warm_s"] = round(t, 3)
+    extras["material_sweep_solves_per_s"] = round(b / t)
+    extras["material_sweep_rel_residual_max"] = float(rel.max())
 
 
 def main():
@@ -263,10 +434,15 @@ def main():
         return False, None
 
     linkedin_t = bench_linkedin(extras)
+    attempt("linkedin_fine", bench_linkedin_fine, extras)
     ok, plate = attempt("plate", bench_plate_1m, extras)
     if ok:
         attempt("spmv", bench_spmv_roofline, extras, plate)
+    attempt("plate4m", bench_plate_4m, extras)
     attempt("sweep", bench_sweep, extras)
+    attempt("material_sweep", bench_material_sweep, extras)
+    # last: a TPU-runtime fault here must not take the other blocks with it
+    attempt("unstructured", bench_unstructured_1m, extras)
 
     baseline = 0.286  # reference readme.md:28
     print(

@@ -248,11 +248,45 @@ def _solve_stencil(spec: CoreSpec, coords, tris, u_known, u_value, f_value, e, n
 
 
 def _run_linear_solve(spec: CoreSpec, op, precond, b, x0, op32=None, precond32=None):
-    """PCG or (when spec.refine) f64/f32 mixed-precision refinement.
+    """PCG or (when spec.refine) a mixed-precision scheme.
 
     Returns (x, iters, resnorm, converged, history). Refinement reports an
     empty history (the inner solves restart each pass).
+
+    Two refine schemes:
+      * AMG preconditioner: ONE f64 PCG whose preconditioner is the f32
+        V-cycle (casts at the boundary). Outer/inner iterative refinement
+        stagnates at kappa(A)*eps_f32 relative residual -- measured ~3e-6
+        at 400k+ unstructured DOFs -- because the inner f32 solve targets
+        the CAST operator; f64 CG against the true operator with a merely
+        approximate (f32) preconditioner keeps full f64 accuracy at almost
+        the same cost (the V-cycle dominates the per-iteration work and
+        still runs f32).
+      * otherwise: classic f64-residual / f32-inner-solve refinement.
     """
+    if spec.refine and spec.preconditioner == "amg":
+        f64 = b.dtype
+
+        def precond64(r):
+            return precond32(r.astype(jnp.float32)).astype(f64)
+
+        result = pcg(
+            op,
+            b,
+            preconditioner=precond64,
+            x0=x0,
+            rtol=spec.rtol,
+            atol=spec.atol,
+            maxiter=spec.maxiter,
+            **_observe_kwargs(spec),
+        )
+        return (
+            result.x,
+            result.iterations,
+            result.residual_norm,
+            result.converged,
+            result.history,
+        )
     if spec.refine:
         from .refine import mixed_precision_solve
 
