@@ -108,7 +108,6 @@ def entry(argv=None) -> None:
         jax.config.update("jax_platforms", env_platforms)
 
     from .config import SolverOptions, load_simulation_input
-    from .fem.solve import solve_system
     from .meshing import runner
     from .post.csv_out import write_results
     from .utils.logging import stage, log
@@ -177,12 +176,30 @@ def entry(argv=None) -> None:
             with stage("save-case"):
                 save_case(args.save_case, mesh, bca, metadata=sim.metadata)
             log(f"info: checkpointed case to {args.save_case}")
+        amg_setup = None
+        if args.load_case and os.path.exists(args.load_case + ".amg.npz"):
+            from .persist import load_amg
+
+            with stage("load-amg"):
+                amg_setup = load_amg(args.load_case + ".amg.npz")
+            log("info: loaded AMG hierarchy cache")
         with stage("solve"):
             # `structure` is the checkpoint's block-ELL sparsity when
-            # resuming (skips the expensive host structure rebuild)
-            result = solve_system(
-                mesh, bca, sim.metadata, options, structure=structure
+            # resuming; `amg_setup` the checkpoint's AMG hierarchy (both
+            # skip their expensive host rebuilds)
+            from .fem.solve import compile_problem
+
+            problem = compile_problem(
+                mesh, bca, sim.metadata, options,
+                structure=structure, amg_setup=amg_setup,
             )
+            result = problem.solve()
+        if args.save_case and problem.amg_setup is not None:
+            from .persist import save_amg
+
+            with stage("save-amg"):
+                save_amg(args.save_case + ".amg.npz", problem.amg_setup)
+            log(f"info: cached AMG hierarchy to {args.save_case}.amg.npz")
         log(
             f"info: finished conjugate gradient in {result.iterations} "
             f"iterations (residual {result.residual_norm:.3e})"

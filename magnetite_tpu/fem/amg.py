@@ -624,3 +624,56 @@ def make_amg_preconditioner(
         return e
 
     return apply
+
+
+# ============================ persistence ===================================
+
+
+def setup_to_arrays(setup: AMGSetup) -> dict:
+    """Flatten an AMGSetup into a {name: array} dict (npz-friendly).
+
+    The hierarchy build is the dominant host cost for large unstructured
+    meshes (~50 s at 1M elements on one core); persisting it with the case
+    checkpoint makes re-runs start solving immediately."""
+    out = {
+        "amg_n_transfers": np.int64(len(setup.transfers)),
+        "amg_level_sizes": np.asarray(setup.level_sizes, dtype=np.int64),
+    }
+    for l, (pc, pv, tc, tv) in enumerate(setup.transfers):
+        out[f"amg_t{l}_pcols"] = pc
+        out[f"amg_t{l}_pvals"] = pv
+        out[f"amg_t{l}_ptcols"] = tc
+        out[f"amg_t{l}_ptvals"] = tv
+    for l, (ac, av, di) in enumerate(setup.coarse_ops):
+        out[f"amg_c{l}_acols"] = ac
+        out[f"amg_c{l}_avals"] = av
+        out[f"amg_c{l}_dinv"] = di
+    if setup.coarsest_inv is not None:
+        out["amg_coarsest_inv"] = setup.coarsest_inv
+    return out
+
+
+def setup_from_arrays(data: dict) -> AMGSetup:
+    """Inverse of `setup_to_arrays`."""
+    n = int(data["amg_n_transfers"])
+    transfers = [
+        (
+            data[f"amg_t{l}_pcols"],
+            data[f"amg_t{l}_pvals"],
+            data[f"amg_t{l}_ptcols"],
+            data[f"amg_t{l}_ptvals"],
+        )
+        for l in range(n)
+    ]
+    coarse = [
+        (data[f"amg_c{l}_acols"], data[f"amg_c{l}_avals"], data[f"amg_c{l}_dinv"])
+        for l in range(n)
+    ]
+    sizes = [tuple(int(v) for v in row) for row in data["amg_level_sizes"]]
+    return AMGSetup(
+        transfers=transfers,
+        coarse_ops=coarse,
+        coarsest_inv=data.get("amg_coarsest_inv"),
+        level_sizes=sizes,
+        setup_info={"loaded": True},
+    )

@@ -631,6 +631,7 @@ def solve_system(
     metadata: ModelMetadata,
     options: SolverOptions = SolverOptions(),
     structure: Optional[EllStructure] = None,
+    amg_setup=None,
 ) -> SolveResult:
     """Full FEA solve of one mesh + boundary-condition set.
 
@@ -638,7 +639,7 @@ def solve_system(
     of the same mesh should hold onto a CompiledProblem instead (device
     arrays stay resident; only the jit call repeats).
     """
-    problem = compile_problem(mesh, bca, metadata, options, structure)
+    problem = compile_problem(mesh, bca, metadata, options, structure, amg_setup)
     return problem.solve()
 
 
@@ -666,6 +667,9 @@ class CompiledProblem:
     # `solve()` reports results in the caller's original node order;
     # `solve_device()` returns raw arrays in the renumbered order.
     perm: Optional[np.ndarray] = None
+    # the AMG hierarchy built (or reused) for this problem; persist it with
+    # persist.save_amg so re-runs skip the host setup
+    amg_setup: object = None
 
     def solve_device(self):
         return self.core(*self.args)
@@ -725,8 +729,17 @@ def compile_problem(
     metadata: ModelMetadata,
     options: SolverOptions = SolverOptions(),
     structure: Optional[EllStructure] = None,
+    amg_setup=None,
 ) -> CompiledProblem:
-    """Select the operator format, build/cache the jitted core, upload args."""
+    """Select the operator format, build/cache the jitted core, upload args.
+
+    `amg_setup`: a previously built fem/amg.AMGSetup for THIS problem
+    (persist.save_amg/load_amg) -- skips the hierarchy build, the dominant
+    host cost for large unstructured meshes. It must come from the same
+    mesh + BC mask + material under the same options (renumbering is
+    deterministic, so a setup saved from a compiled problem matches the
+    re-compiled one); a node-count mismatch triggers a silent rebuild.
+    """
     timings: dict = {}
     dtype = default_dtype(options)
     n = mesh.num_nodes
@@ -912,19 +925,24 @@ def compile_problem(
     timings["preconditioner"] = preconditioner
 
     amg_args = ((), (), ())
+    setup = None
     if preconditioner == "amg":
         from .amg import amg_device_arrays, build_amg_setup
 
         t0 = time.perf_counter()
-        setup = build_amg_setup(
-            mesh.coords,
-            mesh.tris,
-            metadata.youngs_modulus,
-            metadata.poisson_ratio,
-            metadata.part_thickness,
-            (~bca.u_known).astype(np.float64),
-            cell_factor=float(options.amg_cell_factor),
-        )
+        setup = amg_setup
+        if setup is not None and setup.level_sizes[0][0] != n:
+            setup = None  # stale cache (different mesh/ordering): rebuild
+        if setup is None:
+            setup = build_amg_setup(
+                mesh.coords,
+                mesh.tris,
+                metadata.youngs_modulus,
+                metadata.poisson_ratio,
+                metadata.part_thickness,
+                (~bca.u_known).astype(np.float64),
+                cell_factor=float(options.amg_cell_factor),
+            )
         # refinement runs the V-cycle only inside the f32 inner solves
         amg_dtype = np.float32 if refine else dtype
         amg_args = amg_device_arrays(setup, amg_dtype)
@@ -988,4 +1006,5 @@ def compile_problem(
         refine=refine,
         debug_nans=bool(options.debug_nans),
         perm=perm,
+        amg_setup=setup,
     )

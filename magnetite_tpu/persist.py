@@ -68,6 +68,35 @@ def save_case(
     np.savez_compressed(path, **data)
 
 
+def save_amg(path: str, setup) -> None:
+    """Persist a fem/amg.AMGSetup (the ~50 s-at-1M host hierarchy build)
+    next to its case checkpoint; CLI --save-case does this automatically
+    when the solve used the AMG preconditioner."""
+    from .fem.amg import setup_to_arrays
+
+    np.savez_compressed(
+        path, format_version=np.int64(_FORMAT_VERSION), **setup_to_arrays(setup)
+    )
+
+
+def load_amg(path: str):
+    """Load an AMGSetup saved by `save_amg`."""
+    from .fem.amg import setup_from_arrays
+
+    try:
+        with np.load(path) as z:
+            data = {k: z[k] for k in z.files}
+    except Exception as err:
+        raise InputError(f"cannot read AMG cache {path}: {err}") from None
+    version = int(data.get("format_version", -1))
+    if version != _FORMAT_VERSION:
+        raise InputError(
+            f"AMG cache {path} has format version {version}, "
+            f"expected {_FORMAT_VERSION}"
+        )
+    return setup_from_arrays(data)
+
+
 def load_case(
     path: str,
 ) -> tuple[Mesh, BCArrays, Optional[ModelMetadata], Optional[EllStructure]]:

@@ -195,3 +195,39 @@ def test_amg_on_stencil_grid_raises():
     bca = tensile_bcs_for_rect(mesh.coords)
     with pytest.raises(SolverError, match="amg"):
         solve_system(mesh, bca, MD, SolverOptions(preconditioner="amg"))
+
+
+def test_amg_setup_persistence_roundtrip(plate, tmp_path):
+    """save_amg/load_amg round-trip + compile_problem reuse: the cached
+    hierarchy must produce the identical preconditioned solve."""
+    from magnetite_tpu.persist import load_amg, save_amg
+
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    opts = SolverOptions(preconditioner="amg", cg_rtol=1e-10)
+    p1 = compile_problem(plate, bca, MD, opts)
+    assert p1.amg_setup is not None
+    path = str(tmp_path / "case.amg.npz")
+    save_amg(path, p1.amg_setup)
+
+    loaded = load_amg(path)
+    p2 = compile_problem(plate, bca, MD, opts, amg_setup=loaded)
+    assert p2.timings["amg_setup_s"] < p1.timings["amg_setup_s"]
+    r1, r2 = p1.solve(), p2.solve()
+    assert r1.iterations == r2.iterations
+    np.testing.assert_allclose(r2.u, r1.u, rtol=0, atol=1e-14)
+
+    # stale cache (node-count mismatch) silently rebuilds
+    smaller = triangulate(
+        [np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])], 0.0, 0.2
+    )
+    from magnetite_tpu.bc import BCArrays
+
+    n = smaller.num_nodes
+    u_known = np.zeros((n, 2), dtype=bool)
+    u_known[np.isclose(smaller.coords[:, 0], 0.0)] = True
+    bca_s = BCArrays(
+        u_known=u_known, u_value=np.zeros((n, 2)), f_value=np.zeros((n, 2))
+    )
+    bca_s.f_value[np.isclose(smaller.coords[:, 0], 1.0), 0] = 1e3
+    p3 = compile_problem(smaller, bca_s, MD, opts, amg_setup=loaded)
+    assert p3.solve().converged
