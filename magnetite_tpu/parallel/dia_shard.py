@@ -1,0 +1,470 @@
+"""Row-sharded UNSTRUCTURED solves: DIA bands + AMG over a device mesh.
+
+parallel/stencil_shard.py covers structured grids; this module gives
+arbitrary (delaunay/gmsh) meshes the same multi-chip story. After the
+band-friendly renumbering (meshing/reorder.py) every stiffness coupling
+lives within max|col - row| = H of the diagonal, so sharding NODES in
+contiguous blocks makes the operator's communication a fixed-width halo:
+
+    per matvec: 2 x jax.lax.ppermute of a [2, H] slab (+ psum scalars),
+
+H ~ one lattice row (~sqrt(N) nodes) regardless of shard count -- tens of
+KB over ICI per iteration at 1M nodes, vs the all-gather ELL formulation's
+full-vector exchange (parallel/sharding.py, kept as the fallback for
+band-hostile meshes).
+
+The smoothed-aggregation AMG preconditioner (fem/amg.py) shards the same
+way: level-0 smoothing runs shard-locally on the banded operator; the
+prolongator rows are node-sharded (each shard owns its fine rows of P, and
+restriction is one segment_sum + psum into the REPLICATED coarse residual);
+everything below level 0 -- 9x smaller and shrinking geometrically -- is
+solved redundantly on every chip, the standard redundant-coarse-solve
+layout.
+
+Accuracy: `refined=True` runs f64 CG with the f32 V-cycle preconditioner
+and psum reductions -- the same scheme as the single-chip unstructured
+path (fem/solve.py), reaching 1e-8-grade GLOBAL relative residuals.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..bc import BCArrays
+from ..config import ModelMetadata
+from ..errors import SolverError
+from ..fem.cg import CGResult, pcg
+from ..meshing.core import Mesh as FemMesh
+
+
+@dataclass
+class ShardedDiaProblem:
+    """Device-ready node-sharded unstructured FEA system.
+
+    Node arrays are padded to a multiple of the shard count; pad nodes
+    carry identity diagonal blocks (free=0), so the operator stays SPD.
+    `perm` (perm[new] = old) is set when the mesh was renumbered for
+    bandedness -- gather results as x[:, :n][:, inverse] to report in the
+    caller's order.
+    """
+
+    device_mesh: Mesh
+    axis: str
+    offsets: tuple  # static band offsets
+    halo: int  # max |offset|
+    bands: jax.Array  # [D, 2, 2, Np] node-sharded (solve dtype)
+    free: jax.Array  # [2, Np]
+    u_fixed: jax.Array  # [2, Np]
+    f: jax.Array  # [2, Np]
+    amg: tuple  # device pytree: (p_cols, p_vals) sharded + replicated tail
+    n_nodes: int  # un-padded
+    perm: Optional[np.ndarray] = None
+
+
+def _fwd_pairs(n):
+    return [(j, j + 1) for j in range(n - 1)]
+
+
+def _bwd_pairs(n):
+    return [(j + 1, j) for j in range(n - 1)]
+
+
+def exchange_halo(u_local: jax.Array, halo: int, axis: str) -> jax.Array:
+    """[2, nl] -> [2, nl + 2*halo]: `halo` boundary entries from each
+    neighbor; edge shards get zeros (band entries reaching outside the
+    global index range are zero by construction)."""
+    n = jax.lax.axis_size(axis)
+    from_above = jax.lax.ppermute(u_local[:, -halo:], axis, _fwd_pairs(n))
+    from_below = jax.lax.ppermute(u_local[:, :halo], axis, _bwd_pairs(n))
+    return jnp.concatenate([from_above, u_local, from_below], axis=1)
+
+
+def make_halo_dia_operator(bands_local, offsets: tuple, halo: int, axis: str):
+    """Shard-local y = K u: one halo exchange + static-slice band FMAs.
+
+    Requires halo <= local shard size (guaranteed by `prepare`)."""
+
+    def op(u_local):
+        nl = u_local.shape[-1]
+        u_ext = exchange_halo(u_local, halo, axis)
+        y0 = jnp.zeros_like(u_local[0])
+        y1 = jnp.zeros_like(u_local[1])
+        for d_idx, off in enumerate(offsets):
+            us = jax.lax.slice_in_dim(
+                u_ext, halo + off, halo + off + nl, axis=1
+            )
+            b = bands_local[d_idx]
+            # explicit 2x2 block FMAs (VPU full f32; einsum would go MXU)
+            y0 = y0 + b[0, 0] * us[0] + b[0, 1] * us[1]
+            y1 = y1 + b[1, 0] * us[0] + b[1, 1] * us[1]
+        return jnp.stack([y0, y1])
+
+    return op
+
+
+def _jacobi_inverse(bands_local, offsets: tuple, free_local):
+    """Closed-form inverse of the reduced diagonal blocks, [2,2,nl]."""
+    zero_idx = offsets.index(0)
+    f = free_local
+    d = bands_local[zero_idx] * (f[:, None, :] * f[None, :, :])
+    d = d.at[0, 0].add(1.0 - f[0])
+    d = d.at[1, 1].add(1.0 - f[1])
+    a_, b_ = d[0, 0], d[0, 1]
+    c_, e_ = d[1, 0], d[1, 1]
+    det = a_ * e_ - b_ * c_
+    det = jnp.where(det == 0, 1.0, det)
+    return jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
+
+
+def _apply_2x2(inv, r):
+    return jnp.stack(
+        [inv[0, 0] * r[0] + inv[0, 1] * r[1], inv[1, 0] * r[0] + inv[1, 1] * r[1]]
+    )
+
+
+def make_sharded_amg_preconditioner(
+    amg_local: tuple,
+    op0,
+    jac0,
+    axis: str,
+    *,
+    pre_sweeps: int = 1,
+    post_sweeps: int = 1,
+    omega0: float = 0.7,
+    omega: float = 0.7,
+    coarse_sweeps: int = 24,
+):
+    """Sharded V(1,1)-cycle: local level-0 smoothing, psum restriction into
+    a replicated coarse hierarchy (fem/amg.py arrays), local prolongation.
+
+    amg_local: ((p_cols_local, p_vals_local), coarse_transfers, coarse_ops,
+    coarsest_inv_tuple) -- the first transfer is node-sharded by fine row,
+    the rest replicated.
+    """
+    from ..fem.amg import _apply_blocks, _block_ell_matvec
+
+    (p_cols, p_vals), transfers_tail, coarse, ci = amg_local
+    n_coarse_levels = len(coarse)
+
+    def smooth_coarse(l, e, r, sweeps):
+        a_cols, a_vals, d_inv = coarse[l]
+        for _ in range(sweeps):
+            res = r - _block_ell_matvec(a_cols, a_vals, e)
+            e = e + omega * _apply_blocks(d_inv, res)
+        return e
+
+    def cycle(l, r):
+        """Replicated coarse cycle; l indexes into `coarse` (0 = level 1)."""
+        if l == n_coarse_levels - 1:
+            if ci:
+                return (ci[0] @ r.reshape(-1)).reshape(r.shape)
+            return smooth_coarse(l, jnp.zeros_like(r), r, coarse_sweeps)
+        a_cols, a_vals, d_inv = coarse[l]
+        e = omega * _apply_blocks(d_inv, r)
+        e = smooth_coarse(l, e, r, pre_sweeps - 1)
+        res = r - _block_ell_matvec(a_cols, a_vals, e)
+        tp_cols, tp_vals, tpt_cols, tpt_vals = transfers_tail[l]
+        rc = _block_ell_matvec(tpt_cols, tpt_vals, res)
+        ec = cycle(l + 1, rc)
+        e = e + _block_ell_matvec(tp_cols, tp_vals, ec)
+        return smooth_coarse(l, e, r, post_sweeps)
+
+    n1 = int(coarse[0][0].shape[0]) if n_coarse_levels else 0
+
+    def restrict0(res_t):  # [2, nl] -> replicated [n1, 3]
+        res_nodes = res_t.T  # [nl, 2]
+        contrib = jnp.einsum(
+            "nwij,ni->nwj", p_vals, res_nodes, precision="highest"
+        )  # [nl, wp, 3]
+        partial_rc = jax.ops.segment_sum(
+            contrib.reshape(-1, contrib.shape[-1]),
+            p_cols.reshape(-1),
+            num_segments=n1,
+        )
+        return jax.lax.psum(partial_rc, axis)
+
+    def prolong0(ec):  # replicated [n1, 3] -> [2, nl]
+        return jnp.einsum(
+            "nwij,nwj->ni", p_vals, ec[p_cols], precision="highest"
+        ).T
+
+    def apply(r):
+        if n_coarse_levels == 0:
+            return omega0 * jac0(r)
+        e = omega0 * jac0(r)
+        for _ in range(pre_sweeps - 1):
+            e = e + omega0 * jac0(r - op0(e))
+        rc = restrict0(r - op0(e))
+        ec = cycle(0, rc)
+        e = e + prolong0(ec)
+        for _ in range(post_sweeps):
+            e = e + omega0 * jac0(r - op0(e))
+        return e
+
+    return apply
+
+
+def prepare_sharded_dia_problem(
+    fem_mesh: FemMesh,
+    bca: BCArrays,
+    metadata: ModelMetadata,
+    device_mesh: Mesh,
+    axis: str = "nodes",
+    dtype=np.float32,
+    amg_setup=None,
+    max_diags: int = 64,
+) -> ShardedDiaProblem:
+    """Host prep: band structure (+renumber if needed), device assembly,
+    AMG hierarchy, node-sharded layout."""
+    from ..fem.amg import build_amg_setup
+    from ..fem.dia import assemble_dia_fused, build_dia_structure
+
+    mesh = fem_mesh
+    perm = None
+    dia = build_dia_structure(mesh.tris, mesh.num_nodes, max_diags=max_diags)
+    if dia is None:
+        from ..meshing.reorder import renumber
+
+        mesh, perm, _ = renumber(mesh)
+        bca = BCArrays(
+            u_known=bca.u_known[perm],
+            u_value=bca.u_value[perm],
+            f_value=bca.f_value[perm],
+        )
+        dia = build_dia_structure(mesh.tris, mesh.num_nodes, max_diags=max_diags)
+        if dia is None:
+            raise SolverError(
+                "mesh stays band-hostile after renumbering; use the "
+                "all-gather ELL path (parallel/sharding.py)"
+            )
+    offsets = tuple(int(o) for o in dia.offsets)
+    halo = max(-min(offsets), max(offsets))
+    n = mesh.num_nodes
+    n_shards = device_mesh.shape[axis]
+    np_pad = math.ceil(n / n_shards) * n_shards
+    if np_pad // n_shards < halo:
+        raise SolverError(
+            f"shard size {np_pad // n_shards} smaller than the band halo "
+            f"{halo}; use fewer shards for this mesh"
+        )
+
+    # assemble on device (single jit, replicated), pad on host
+    bands = jax.jit(
+        lambda c, t: assemble_dia_fused(
+            c,
+            t,
+            metadata.youngs_modulus,
+            metadata.poisson_ratio,
+            metadata.part_thickness,
+            jnp.asarray(dia.slot_ids),
+            n,
+            len(offsets),
+        )
+    )(jnp.asarray(mesh.coords, dtype=np.float64), jnp.asarray(mesh.tris))
+    bands_np = np.zeros((len(offsets), 2, 2, np_pad))
+    bands_np[:, :, :, :n] = np.asarray(bands)
+    zero_idx = offsets.index(0)
+    bands_np[zero_idx, 0, 0, n:] = 1.0
+    bands_np[zero_idx, 1, 1, n:] = 1.0
+
+    free = np.zeros((2, np_pad))
+    free[:, :n] = (~bca.u_known).astype(np.float64).T
+    u_fixed = np.zeros((2, np_pad))
+    u_fixed[:, :n] = bca.u_value.T
+    f = np.zeros((2, np_pad))
+    f[:, :n] = bca.f_value.T
+
+    if amg_setup is None:
+        amg_setup = build_amg_setup(
+            mesh.coords,
+            mesh.tris,
+            metadata.youngs_modulus,
+            metadata.poisson_ratio,
+            metadata.part_thickness,
+            (~bca.u_known).astype(np.float64),
+        )
+    # first transfer is node-sharded by fine row (pad rows scatter zeros
+    # into coarse id 0); the tail of the hierarchy is replicated. Problems
+    # small enough that the hierarchy never coarsened degrade to damped
+    # block-Jacobi (empty transfer/coarse tuples).
+    if amg_setup.transfers:
+        pc, pv, _, _ = amg_setup.transfers[0]
+        p_cols = np.zeros((np_pad, pc.shape[1]), dtype=pc.dtype)
+        p_cols[:n] = pc
+        p_vals = np.zeros((np_pad,) + pv.shape[1:])
+        p_vals[:n] = pv
+    else:
+        p_cols = np.zeros((np_pad, 1), dtype=np.int32)
+        p_vals = np.zeros((np_pad, 1, 2, 3))
+
+    shard_b = NamedSharding(device_mesh, P(None, None, None, axis))
+    shard_v = NamedSharding(device_mesh, P(None, axis))
+    shard_n = NamedSharding(device_mesh, P(axis))
+    repl = NamedSharding(device_mesh, P())
+
+    def put_repl(tree):
+        return jax.tree.map(
+            lambda a: jax.device_put(jnp.asarray(a, dtype=dtype), repl), tree
+        )
+
+    transfers_tail = tuple(
+        (
+            put_repl(t[0]).astype(jnp.int32),
+            put_repl(t[1]),
+            put_repl(t[2]).astype(jnp.int32),
+            put_repl(t[3]),
+        )
+        for t in amg_setup.transfers[1:]
+    )
+    coarse = tuple(
+        (
+            put_repl(c[0]).astype(jnp.int32),
+            put_repl(c[1]),
+            put_repl(c[2]),
+        )
+        for c in amg_setup.coarse_ops
+    )
+    ci = (
+        (jax.device_put(jnp.asarray(amg_setup.coarsest_inv, dtype=dtype), repl),)
+        if amg_setup.coarsest_inv is not None
+        else ()
+    )
+    amg_local = (
+        (
+            jax.device_put(jnp.asarray(p_cols, dtype=jnp.int32), shard_n),
+            jax.device_put(jnp.asarray(p_vals, dtype=dtype), shard_n),
+        ),
+        transfers_tail,
+        coarse,
+        ci,
+    )
+
+    return ShardedDiaProblem(
+        device_mesh=device_mesh,
+        axis=axis,
+        offsets=offsets,
+        halo=int(halo),
+        bands=jax.device_put(bands_np.astype(dtype), shard_b),
+        free=jax.device_put(free.astype(dtype), shard_v),
+        u_fixed=jax.device_put(u_fixed.astype(dtype), shard_v),
+        f=jax.device_put(f.astype(dtype), shard_v),
+        amg=amg_local,
+        n_nodes=n,
+        perm=perm,
+    )
+
+
+def _local_dia_solve(
+    bands,
+    free,
+    u_fixed,
+    f,
+    amg_local,
+    *,
+    offsets,
+    halo,
+    axis,
+    rtol,
+    maxiter,
+):
+    f32 = jnp.float32
+    raw_mv = make_halo_dia_operator(bands, offsets, halo, axis)
+
+    def reduced(mv, fr):
+        def op(v):
+            return fr * mv(fr * v) + (1.0 - fr) * v
+
+        return op
+
+    op = reduced(raw_mv, free)
+    bands32 = bands.astype(f32)
+    free32 = free.astype(f32)
+    mv32 = make_halo_dia_operator(bands32, offsets, halo, axis)
+    op32 = reduced(mv32, free32)
+    jac32 = _jacobi_inverse(bands32, offsets, free32)
+    amg32 = jax.tree.map(
+        lambda a: a.astype(f32) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        amg_local,
+    )
+    vcycle32 = make_sharded_amg_preconditioner(
+        amg32, op32, lambda r: _apply_2x2(jac32, r), axis
+    )
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), axis)
+
+    b = free * (f - raw_mv((1.0 - free) * u_fixed)) + (1.0 - free) * u_fixed
+
+    # the V-cycle always runs f32 (f64 CG + f32 preconditioner is the same
+    # scheme as fem/solve's unstructured refine path); casts are no-ops
+    # when the solve dtype is already f32
+    def precond(r):
+        return vcycle32(r.astype(f32)).astype(b.dtype)
+    result = pcg(
+        op,
+        b,
+        preconditioner=precond,
+        x0=u_fixed,
+        rtol=rtol,
+        maxiter=maxiter,
+        dot=dot,
+    )
+    ku = raw_mv(result.x)
+    return result.x, ku, result.iterations, result.residual_norm, result.converged
+
+
+def sharded_dia_pcg_solve(
+    problem: ShardedDiaProblem,
+    rtol: float = 1e-6,
+    maxiter: int = 100_000,
+    refined: bool = False,
+):
+    """Node-sharded AMG-PCG. refined=True needs f64 problem arrays (f64 CG
+    with the f32 V-cycle, 1e-8-grade global residuals). Returns
+    (CGResult, ku) with x, ku [2, Np] node-sharded."""
+    if refined and problem.bands.dtype != jnp.float64:
+        raise SolverError(
+            "refined sharded solve needs dtype=np.float64 problem arrays"
+        )
+    axis = problem.axis
+    spec_b = P(None, None, None, axis)
+    spec_v = P(None, axis)
+    amg_spec = (
+        (P(axis), P(axis)),
+        tuple((P(), P(), P(), P()) for _ in problem.amg[1]),
+        tuple((P(), P(), P()) for _ in problem.amg[2]),
+        tuple(P() for _ in problem.amg[3]),
+    )
+    solve = jax.jit(
+        jax.shard_map(
+            partial(
+                _local_dia_solve,
+                offsets=problem.offsets,
+                halo=problem.halo,
+                axis=axis,
+                rtol=rtol,
+                maxiter=maxiter,
+            ),
+            mesh=problem.device_mesh,
+            in_specs=(spec_b, spec_v, spec_v, spec_v, amg_spec),
+            out_specs=(spec_v, spec_v, P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    x, ku, iters, resnorm, converged = solve(
+        problem.bands, problem.free, problem.u_fixed, problem.f, problem.amg
+    )
+    return (
+        CGResult(
+            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+        ),
+        ku,
+    )
