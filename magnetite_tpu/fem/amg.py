@@ -19,7 +19,10 @@ Smoothed aggregation (Vanek/Mandel/Brezina):
     omega = 4/3 / rho(D^-1 A) (power-iteration estimate)
   * Galerkin coarse operators A_{l+1} = P^T A_l P, computed on host with
     chunked sort+reduce block-COO products (vectorized numpy; the setup is
-    a one-time host cost, cacheable with the mesh)
+    a one-time host cost, persisted with case checkpoints via
+    persist.save_amg. Offloading the setup products to a network-tunneled
+    TPU was measured FAR slower than single-core numpy -- every eager
+    dispatch pays a round trip -- so setup deliberately stays host-side)
 
 TPU-first split: ALL setup runs on host in numpy (irregular, data-dependent
 -- exactly what XLA is bad at); the V-cycle apply is a pure jitted function
@@ -49,62 +52,20 @@ _DENSE_COARSE_MAX_DOF = 3072
 # ============================ host setup ====================================
 
 
-def _element_stiffness_np(coords, tris, e_mod, nu, t):
-    """Numpy mirror of fem/element.element_stiffness_matrices (host setup
-    needs numeric A without a device round-trip). ke = B^T D B * A * t."""
-    p = coords[tris]  # [E,3,2]
-    x, y = p[..., 0], p[..., 1]
-    areas = 0.5 * (
-        x[:, 0] * (y[:, 1] - y[:, 2])
-        + x[:, 1] * (y[:, 2] - y[:, 0])
-        + x[:, 2] * (y[:, 0] - y[:, 1])
-    )
-    beta = np.stack(
-        [y[:, 1] - y[:, 2], y[:, 2] - y[:, 0], y[:, 0] - y[:, 1]], axis=-1
-    )
-    gamma = np.stack(
-        [x[:, 2] - x[:, 1], x[:, 0] - x[:, 2], x[:, 1] - x[:, 0]], axis=-1
-    )
-    zero = np.zeros_like(beta)
-    row0 = np.stack([beta, zero], axis=-1).reshape(-1, 6)
-    row1 = np.stack([zero, gamma], axis=-1).reshape(-1, 6)
-    row2 = np.stack([gamma, beta], axis=-1).reshape(-1, 6)
-    b = np.stack([row0, row1, row2], axis=-2) / (2.0 * areas)[:, None, None]
-    d = np.array(
-        [[1.0, nu, 0.0], [nu, 1.0, 0.0], [0.0, 0.0, (1.0 - nu) / 2.0]]
-    ) * (e_mod / (1.0 - nu * nu))
-    # batched matmul (BLAS) rather than c_einsum: ~3x on the setup hot path
-    db = np.matmul(d, b)
-    ke = np.matmul(b.transpose(0, 2, 1), db)
-    return ke * (areas * t)[:, None, None]
-
-
-# Device offload threshold for setup products. The one-time setup stays on
-# host by default: with a network-tunneled TPU every eager dispatch pays a
-# round trip, which measured far slower than single-core numpy. Kept as a
-# knob for locally-attached accelerators.
-_DEVICE_MIN = float("inf")
-
-
-def _mm(a, b):
-    """Batched block matmul (device offload above _DEVICE_MIN items)."""
-    if a.size + b.size >= _DEVICE_MIN:
-        return np.asarray(jnp.matmul(jnp.asarray(a), jnp.asarray(b)))
-    return np.matmul(a, b)
-
-
 def _reduce_block_coo(keys, vals):
-    """Sum duplicate keys: sorted unique keys + reduced block values."""
-    order = np.argsort(keys)
-    sk = keys[order]
-    first = np.ones(sk.size, dtype=bool)
-    first[1:] = sk[1:] != sk[:-1]
-    starts = np.flatnonzero(first)
-    shape = vals.shape[1:]
-    out = np.add.reduceat(
-        vals.reshape(vals.shape[0], -1)[order], starts, axis=0
-    )
-    return sk[starts], out.reshape(-1, *shape)
+    """Sum duplicate keys: sorted unique keys + reduced block values.
+
+    Per-component bincount on the unique-inverse ids: one key sort total,
+    and no [M, block] fancy-index gather (which dominated the sort+reduceat
+    formulation at 1M-element scale)."""
+    uniq, inv = np.unique(keys, return_inverse=True)
+    flat = vals.reshape(vals.shape[0], -1)
+    out = np.empty((uniq.size, flat.shape[1]))
+    for c in range(flat.shape[1]):
+        out[:, c] = np.bincount(
+            inv, weights=flat[:, c], minlength=uniq.size
+        )
+    return uniq, out.reshape(-1, *vals.shape[1:])
 
 
 def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
@@ -120,45 +81,39 @@ def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
     n = coords.shape[0]
     s = build_ell_structure(tris, n)
     e = tris.shape[0]
-    tris64 = tris.astype(np.int64)
-    erows = np.repeat(tris64, 3, axis=1).reshape(-1)
-    ecols = np.tile(tris64, (1, 3)).reshape(-1)
-    if e * 9 >= _DEVICE_MIN:
-        # device path: batched stiffness einsum + one segment_sum
-        from .assembly import element_blocks
-        from .element import element_stiffness_matrices
-
-        ke = element_stiffness_matrices(
-            jnp.asarray(coords, dtype=jnp.float64),
-            jnp.asarray(tris, dtype=jnp.int32),
-            float(e_mod),
-            float(nu),
-            float(t),
+    # closed-form per-pair 2x2 blocks as scalar [3,3,E] fields (the numpy
+    # mirror of fem/element.pair_block_fields): no [E,6,6] tensor, no
+    # block transpose copies -- this alone halved the 1M-element setup
+    at = tris.astype(np.int64).T  # [3, E]
+    pc = coords[at]  # [3, E, 2]
+    x, y = pc[..., 0], pc[..., 1]
+    beta = np.stack([y[1] - y[2], y[2] - y[0], y[0] - y[1]])
+    gamma = np.stack([x[2] - x[1], x[0] - x[2], x[1] - x[0]])
+    area2 = x[0] * (y[1] - y[2]) + x[1] * (y[2] - y[0]) + x[2] * (y[0] - y[1])
+    coef = t / (2.0 * area2)
+    d0 = e_mod / (1.0 - nu * nu)
+    d1 = nu * d0
+    d2 = 0.5 * (1.0 - nu) * d0
+    ba, bb = beta[:, None, :], beta[None, :, :]  # [3,3,E]
+    ga, gb = gamma[:, None, :], gamma[None, :, :]
+    fxa, fya = free[at, 0], free[at, 1]  # [3, E]
+    m00 = fxa[:, None, :] * fxa[None, :, :]
+    m01 = fxa[:, None, :] * fya[None, :, :]
+    m10 = fya[:, None, :] * fxa[None, :, :]
+    m11 = fya[:, None, :] * fya[None, :, :]
+    k00 = coef * (d0 * ba * bb + d2 * ga * gb) * m00
+    k01 = coef * (d1 * ba * gb + d2 * ga * bb) * m01
+    k10 = coef * (d1 * ga * bb + d2 * ba * gb) * m10
+    k11 = coef * (d0 * ga * gb + d2 * ba * bb) * m11
+    # pair-major slot ids matching the [3,3,E] field layout
+    ids = (
+        s.slot_ids.astype(np.int64).reshape(e, 3, 3).transpose(1, 2, 0).reshape(-1)
+    )
+    flat = np.empty((n * s.width, 4))
+    for c, k in enumerate((k00, k01, k10, k11)):
+        flat[:, c] = np.bincount(
+            ids, weights=k.reshape(-1), minlength=n * s.width
         )
-        free_d = jnp.asarray(free, dtype=jnp.float64)
-        blocks = (
-            element_blocks(ke)
-            * free_d[jnp.asarray(erows)][:, :, None]
-            * free_d[jnp.asarray(ecols)][:, None, :]
-        )
-        flat = np.asarray(
-            jax.ops.segment_sum(
-                blocks.reshape(-1, 4),
-                jnp.asarray(s.slot_ids.astype(np.int64)),
-                num_segments=n * s.width,
-            )
-        )
-    else:
-        ke = _element_stiffness_np(coords, tris, e_mod, nu, t)
-        blocks = ke.reshape(e, 3, 2, 3, 2).transpose(0, 1, 3, 2, 4).reshape(-1, 4)
-        mask = (free[erows][:, :, None] * free[ecols][:, None, :]).reshape(-1, 4)
-        blocks = blocks * mask
-        flat = np.empty((n * s.width, 4))
-        ids = s.slot_ids.astype(np.int64)
-        for c in range(4):
-            flat[:, c] = np.bincount(
-                ids, weights=blocks[:, c], minlength=n * s.width
-            )
     rows = np.repeat(np.arange(n, dtype=np.int64), s.width)
     cols = s.cols.reshape(-1).astype(np.int64)
     return rows, cols, flat.reshape(-1, 2, 2)
@@ -240,27 +195,13 @@ def _coo_matvec(rows, cols, vals, x, n):
     return out
 
 
-def _estimate_rho_dinv_a(rows, cols, vals, diag_inv, n, iters=12, seed=0):
+def _estimate_rho_dinv_a(rows, cols, vals, diag_inv, n, iters=8, seed=0):
     """rho(D^-1 A) by power iteration (device for large levels)."""
     rng = np.random.default_rng(seed)
     m = vals.shape[1]
     x = rng.standard_normal((n, m))
     x /= np.linalg.norm(x)
     rho = 1.0
-    if rows.size >= _DEVICE_MIN:
-        a_cols, a_vals = _coo_to_ell(rows, cols, vals, n)
-        ac, av, di, xd = map(
-            jnp.asarray, (a_cols, a_vals, diag_inv, x)
-        )
-        for _ in range(iters):
-            y = jnp.einsum("nwij,nwj->ni", av, xd[ac])
-            y = jnp.matmul(di, y[..., None])[..., 0]
-            norm = float(jnp.linalg.norm(y))
-            if norm == 0:
-                return 1.0
-            rho = norm
-            xd = y / norm
-        return float(rho)
     for _ in range(iters):
         y = _coo_matvec(rows, cols, vals, x, n)
         y = np.matmul(diag_inv, y[..., None])[..., 0]
@@ -315,8 +256,8 @@ def _smooth_prolongator(rows, cols, vals, diag_inv, agg, p0_block, n_agg, omega)
     """P = (I - omega D^-1 A) P0 in block-COO keyed (fine row, coarse col)."""
     n = p0_block.shape[0]
     # - omega * Dinv A P0 term: every A entry (i, j) -> (i, agg[j])
-    dinva = _mm(diag_inv[rows], vals)  # [nnz, m, m]
-    contrib = -omega * _mm(dinva, p0_block[cols])
+    dinva = np.matmul(diag_inv[rows], vals)  # [nnz, m, m]
+    contrib = -omega * np.matmul(dinva, p0_block[cols])
     keys = rows * np.int64(n_agg) + agg[cols]
     # + P0 term
     keys0 = np.arange(n, dtype=np.int64) * n_agg + agg
@@ -342,7 +283,7 @@ def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
     for s in range(0, arows.size, chunk):
         e = min(s + chunk, arows.size)
         aj = acols[s:e]
-        prod = _mm(avals[s:e, None], p_ell_vals[aj])  # [c, wp, m, mc]
+        prod = np.matmul(avals[s:e, None], p_ell_vals[aj])  # [c, wp, m, mc]
         keys = (
             arows[s:e, None] * np.int64(n_agg) + p_ell_cols[aj].astype(np.int64)
         ).reshape(-1)
@@ -360,7 +301,7 @@ def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
     row_chunk = max(chunk // max(wp * wap, 1), 1)
     for s in range(0, n, row_chunk):
         e = min(s + row_chunk, n)
-        prod = _mm(
+        prod = np.matmul(
             p_ell_vals[s:e].transpose(0, 1, 3, 2)[:, :, None],
             ap_ell_vals[s:e, None],
         )  # [c, wp, wap, mc, mc]
