@@ -596,7 +596,21 @@ def _jitted_core(spec: CoreSpec):
         # Force recovery: unknown forces are K u rows (reference
         # src/solver.rs:457-469); known applied forces pass through.
         f = jnp.where(u_known, ku, f_value)
-        sigma = element_stress_tensors(coords, tris, u, e, nu)
+        if spec.refine:
+            # refine mode carries f64 coords for the operator, but OUTPUT
+            # stresses don't need f64: the f32 recovery is 1e-7-grade and
+            # the emulated-f64 einsum chain measured ~25% of the whole
+            # refined solve
+            f32 = jnp.float32
+            sigma = element_stress_tensors(
+                coords.astype(f32),
+                tris,
+                u.astype(f32),
+                jnp.asarray(e, f32),
+                jnp.asarray(nu, f32),
+            )
+        else:
+            sigma = element_stress_tensors(coords, tris, u, e, nu)
         stress = scalar_stress(sigma, sign_threshold=spec.stress_sign_threshold)
         vm = von_mises_stress(sigma)
         return u, f, sigma, stress, vm, iters, resnorm, converged, bnorm, history
