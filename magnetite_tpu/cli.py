@@ -197,9 +197,16 @@ def entry(argv=None) -> None:
         if args.save_case and problem.amg_setup is not None:
             from .persist import save_amg
 
+            # np.savez appends .npz to the CASE path; mirror that here so
+            # `--load-case <case>.npz` finds the sibling at <case>.npz.amg.npz
+            case_path = (
+                args.save_case
+                if args.save_case.endswith(".npz")
+                else args.save_case + ".npz"
+            )
             with stage("save-amg"):
-                save_amg(args.save_case + ".amg.npz", problem.amg_setup)
-            log(f"info: cached AMG hierarchy to {args.save_case}.amg.npz")
+                save_amg(case_path + ".amg.npz", problem.amg_setup)
+            log(f"info: cached AMG hierarchy to {case_path}.amg.npz")
         log(
             f"info: finished conjugate gradient in {result.iterations} "
             f"iterations (residual {result.residual_norm:.3e})"

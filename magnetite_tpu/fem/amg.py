@@ -213,6 +213,14 @@ def _estimate_rho_dinv_a(rows, cols, vals, diag_inv, n, iters=8, seed=0):
     return float(rho)
 
 
+# Aggregates larger than this split into index-chunked sub-aggregates. The
+# cell binning targets ~cell_factor^2 nodes per aggregate on quasi-uniform
+# meshes; strongly GRADED meshes (characteristic_length_min << max) can pack
+# thousands of finely-meshed nodes into one median-sized cell, and the
+# padded per-aggregate QR would then allocate O(n_agg * max_size) memory.
+_MAX_AGG_SIZE = 64
+
+
 def _aggregate_cells(coords, cell):
     """Spatial cell aggregation: agg id per node + aggregate centroids."""
     mn = coords.min(axis=0)
@@ -220,6 +228,16 @@ def _aggregate_cells(coords, cell):
     iy = np.floor((coords[:, 1] - mn[1]) / cell).astype(np.int64)
     key = iy * (ix.max() + 1) + ix
     _, agg = np.unique(key, return_inverse=True)
+    counts = np.bincount(agg)
+    if counts.max() > _MAX_AGG_SIZE:
+        # split oversized cells by position-in-cell chunks (spatially blind
+        # within the cell, but bounded -- quality degrades only locally)
+        order = np.argsort(agg, kind="stable")
+        starts = np.searchsorted(agg[order], np.arange(counts.size))
+        pos = np.empty(agg.size, dtype=np.int64)
+        pos[order] = np.arange(agg.size) - starts[agg[order]]
+        sub = pos // _MAX_AGG_SIZE
+        _, agg = np.unique(agg * np.int64(sub.max() + 1) + sub, return_inverse=True)
     n_agg = int(agg.max()) + 1
     counts = np.bincount(agg, minlength=n_agg).astype(np.float64)
     cx = np.bincount(agg, coords[:, 0], minlength=n_agg) / counts
@@ -524,29 +542,15 @@ def make_amg_preconditioner(
     def from_nodes(r):
         return r.T if layout == "t" else r
 
-    def smooth_coarse(l, e, r, sweeps):
-        a_cols, a_vals, d_inv = coarse[l - 1]
-        for _ in range(sweeps):
-            res = r - _block_ell_matvec(a_cols, a_vals, e)
-            e = e + omega * _apply_blocks(d_inv, res)
-        return e
-
-    def cycle(l, r):
-        """r [n_l, m_l] node-major; returns e ~= A_l^-1 r."""
-        if l == n_levels - 1 and l > 0:
-            if ci:
-                flat = ci[0] @ r.reshape(-1)
-                return flat.reshape(r.shape)
-            return smooth_coarse(l, jnp.zeros_like(r), r, coarse_sweeps)
-        a_cols, a_vals, d_inv = coarse[l - 1]
-        e = omega * _apply_blocks(d_inv, r)
-        e = smooth_coarse(l, e, r, pre_sweeps - 1)
-        res = r - _block_ell_matvec(a_cols, a_vals, e)
-        p_cols, p_vals, pt_cols, pt_vals = transfers[l]
-        rc = _block_ell_matvec(pt_cols, pt_vals, res)
-        ec = cycle(l + 1, rc)
-        e = e + _block_ell_matvec(p_cols, p_vals, ec)
-        return smooth_coarse(l, e, r, post_sweeps)
+    cycle = make_coarse_cycle(
+        transfers[1:],
+        coarse,
+        ci,
+        pre_sweeps=pre_sweeps,
+        post_sweeps=post_sweeps,
+        omega=omega,
+        coarse_sweeps=coarse_sweeps,
+    )
 
     def apply(r):
         # level 0 on the injected fast operator, in its native layout
@@ -558,13 +562,58 @@ def make_amg_preconditioner(
         res = to_nodes(r - op0(e))
         p_cols, p_vals, pt_cols, pt_vals = transfers[0]
         rc = _block_ell_matvec(pt_cols, pt_vals, res)
-        ec = cycle(1, rc)
+        ec = cycle(0, rc)
         e = e + from_nodes(_block_ell_matvec(p_cols, p_vals, ec))
         for _ in range(post_sweeps):
             e = e + omega0 * jac0(r - op0(e))
         return e
 
     return apply
+
+
+def make_coarse_cycle(
+    transfers_tail: tuple,
+    coarse: tuple,
+    ci: tuple,
+    *,
+    pre_sweeps: int = 1,
+    post_sweeps: int = 1,
+    omega: float = 0.7,
+    coarse_sweeps: int = 24,
+):
+    """The replicated part of the V-cycle, below the fine level.
+
+    cycle(l, r): r [n_{l+1}, m] node-major at coarse index l (0 = the first
+    coarse level); transfers_tail[l] connects coarse levels l and l+1.
+    Shared by the single-device preconditioner and the sharded solvers
+    (parallel/dia_shard.py), so smoothing schedules and the dense-coarsest
+    branch cannot drift apart.
+    """
+    n_coarse = len(coarse)
+
+    def smooth(l, e, r, sweeps):
+        a_cols, a_vals, d_inv = coarse[l]
+        for _ in range(sweeps):
+            res = r - _block_ell_matvec(a_cols, a_vals, e)
+            e = e + omega * _apply_blocks(d_inv, res)
+        return e
+
+    def cycle(l, r):
+        if l == n_coarse - 1:
+            if ci:
+                return (ci[0] @ r.reshape(-1)).reshape(r.shape)
+            return smooth(l, jnp.zeros_like(r), r, coarse_sweeps)
+        a_cols, a_vals, d_inv = coarse[l]
+        e = omega * _apply_blocks(d_inv, r)
+        e = smooth(l, e, r, pre_sweeps - 1)
+        res = r - _block_ell_matvec(a_cols, a_vals, e)
+        tp_cols, tp_vals, tpt_cols, tpt_vals = transfers_tail[l]
+        rc = _block_ell_matvec(tpt_cols, tpt_vals, res)
+        ec = cycle(l + 1, rc)
+        e = e + _block_ell_matvec(tp_cols, tp_vals, ec)
+        return smooth(l, e, r, post_sweeps)
+
+    return cycle
 
 
 # ============================ persistence ===================================

@@ -473,13 +473,18 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
     matvec = make_ell_operator(ell, cols)
     op = make_constrained_operator(matvec, free)
     diag_blocks = extract_block_diagonal(ell, cols)
-    if spec.preconditioner == "amg":
+    if spec.preconditioner == "amg" and not spec.refine:
+        # (under refine the amg arrays are f32 and only precond32 is used)
         from .amg import make_amg_preconditioner
 
         bj = block_jacobi_preconditioner(diag_blocks, free)
         precond = make_amg_preconditioner(amg, op, bj, layout="n")
     else:
-        precond = _make_preconditioner(spec.preconditioner, diag_blocks, free)
+        precond = _make_preconditioner(
+            "block_jacobi" if spec.preconditioner == "amg" else spec.preconditioner,
+            diag_blocks,
+            free,
+        )
     b = reduced_rhs(matvec, free, u_value, f_value)
     if spec.refine:
         f32 = jnp.float32
@@ -813,7 +818,7 @@ def compile_problem(
         from .dia import build_dia_structure
 
         if build_dia_structure(mesh.tris, n, max_diags=options.max_diags) is None:
-            orig = band_stats(mesh.tris, n, top_k=options.max_diags)
+            orig = band_stats(mesh.tris, top_k=options.max_diags)
             mesh_r, perm_r, stats = _renumber(
                 mesh, method=options.renumber, top_k=options.max_diags
             )

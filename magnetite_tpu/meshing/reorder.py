@@ -42,7 +42,7 @@ class BandStats:
     bandwidth: int  # max |col - row|
 
 
-def band_stats(tris: np.ndarray, n_nodes: int, top_k: int = 48) -> BandStats:
+def band_stats(tris: np.ndarray, top_k: int = 48) -> BandStats:
     """Measure how band-friendly a mesh's current node numbering is."""
     tris = np.asarray(tris, dtype=np.int64)
     rows = np.repeat(tris, 3, axis=1).reshape(-1)
@@ -192,7 +192,7 @@ def renumber(
     best = None
     for perm in candidates:
         m2 = apply_permutation(mesh, perm)
-        stats = band_stats(m2.tris, n, top_k=top_k)
+        stats = band_stats(m2.tris, top_k=top_k)
         key = (stats.remainder_frac, stats.n_offsets)
         if best is None or key < best[0]:
             best = (key, m2, perm, stats)

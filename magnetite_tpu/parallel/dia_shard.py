@@ -149,33 +149,19 @@ def make_sharded_amg_preconditioner(
     coarsest_inv_tuple) -- the first transfer is node-sharded by fine row,
     the rest replicated.
     """
-    from ..fem.amg import _apply_blocks, _block_ell_matvec
+    from ..fem.amg import _block_ell_matvec, make_coarse_cycle
 
     (p_cols, p_vals), transfers_tail, coarse, ci = amg_local
     n_coarse_levels = len(coarse)
-
-    def smooth_coarse(l, e, r, sweeps):
-        a_cols, a_vals, d_inv = coarse[l]
-        for _ in range(sweeps):
-            res = r - _block_ell_matvec(a_cols, a_vals, e)
-            e = e + omega * _apply_blocks(d_inv, res)
-        return e
-
-    def cycle(l, r):
-        """Replicated coarse cycle; l indexes into `coarse` (0 = level 1)."""
-        if l == n_coarse_levels - 1:
-            if ci:
-                return (ci[0] @ r.reshape(-1)).reshape(r.shape)
-            return smooth_coarse(l, jnp.zeros_like(r), r, coarse_sweeps)
-        a_cols, a_vals, d_inv = coarse[l]
-        e = omega * _apply_blocks(d_inv, r)
-        e = smooth_coarse(l, e, r, pre_sweeps - 1)
-        res = r - _block_ell_matvec(a_cols, a_vals, e)
-        tp_cols, tp_vals, tpt_cols, tpt_vals = transfers_tail[l]
-        rc = _block_ell_matvec(tpt_cols, tpt_vals, res)
-        ec = cycle(l + 1, rc)
-        e = e + _block_ell_matvec(tp_cols, tp_vals, ec)
-        return smooth_coarse(l, e, r, post_sweeps)
+    cycle = make_coarse_cycle(
+        transfers_tail,
+        coarse,
+        ci,
+        pre_sweeps=pre_sweeps,
+        post_sweeps=post_sweeps,
+        omega=omega,
+        coarse_sweeps=coarse_sweeps,
+    )
 
     n1 = int(coarse[0][0].shape[0]) if n_coarse_levels else 0
 
@@ -282,6 +268,18 @@ def prepare_sharded_dia_problem(
     f = np.zeros((2, np_pad))
     f[:, :n] = bca.f_value.T
 
+    if amg_setup is not None and (
+        perm is not None or amg_setup.level_sizes[0][0] != n
+    ):
+        # the provided hierarchy indexes a different node ordering (the mesh
+        # was renumbered here, or it came from another mesh): rebuild
+        from ..utils.logging import log
+
+        log(
+            "warning: provided AMG hierarchy does not match the sharded "
+            "problem's node ordering; rebuilding"
+        )
+        amg_setup = None
     if amg_setup is None:
         amg_setup = build_amg_setup(
             mesh.coords,
@@ -310,26 +308,21 @@ def prepare_sharded_dia_problem(
     shard_n = NamedSharding(device_mesh, P(axis))
     repl = NamedSharding(device_mesh, P())
 
-    def put_repl(tree):
-        return jax.tree.map(
-            lambda a: jax.device_put(jnp.asarray(a, dtype=dtype), repl), tree
-        )
+    def put_repl(a, int_idx=False):
+        arr = jnp.asarray(a, dtype=jnp.int32 if int_idx else dtype)
+        return jax.device_put(arr, repl)
 
     transfers_tail = tuple(
         (
-            put_repl(t[0]).astype(jnp.int32),
+            put_repl(t[0], int_idx=True),
             put_repl(t[1]),
-            put_repl(t[2]).astype(jnp.int32),
+            put_repl(t[2], int_idx=True),
             put_repl(t[3]),
         )
         for t in amg_setup.transfers[1:]
     )
     coarse = tuple(
-        (
-            put_repl(c[0]).astype(jnp.int32),
-            put_repl(c[1]),
-            put_repl(c[2]),
-        )
+        (put_repl(c[0], int_idx=True), put_repl(c[1]), put_repl(c[2]))
         for c in amg_setup.coarse_ops
     )
     ci = (
@@ -434,6 +427,18 @@ def sharded_dia_pcg_solve(
         raise SolverError(
             "refined sharded solve needs dtype=np.float64 problem arrays"
         )
+    if not refined and problem.bands.dtype == jnp.float32:
+        from ..fem.solve import _f32_rtol_floor
+        from ..utils.logging import log
+
+        floor = _f32_rtol_floor()
+        if rtol < floor:
+            log(
+                f"warning: requested rtol {rtol:.1e} is below the f32 floor;"
+                f" clamping to {floor:.1e} (prepare with dtype=np.float64 and"
+                " refined=True for f64-grade residuals)"
+            )
+            rtol = floor
     axis = problem.axis
     spec_b = P(None, None, None, axis)
     spec_v = P(None, axis)

@@ -421,6 +421,18 @@ def sharded_stencil_pcg_solve(
     from ..fem.multigrid import can_coarsen
 
     axis = problem.axis
+    if problem.reduced.dtype == jnp.float32:
+        from ..fem.solve import _f32_rtol_floor
+        from ..utils.logging import log
+
+        floor = _f32_rtol_floor()
+        if rtol < floor:
+            log(
+                f"warning: requested rtol {rtol:.1e} is below the f32 floor;"
+                f" clamping to {floor:.1e} (prepare with dtype=np.float64 and"
+                " sharded_stencil_refined_solve for f64-grade residuals)"
+            )
+            rtol = floor
     if preconditioner == "auto":
         preconditioner = (
             "multigrid"

@@ -231,3 +231,21 @@ def test_amg_setup_persistence_roundtrip(plate, tmp_path):
     bca_s.f_value[np.isclose(smaller.coords[:, 0], 1.0), 0] = 1e3
     p3 = compile_problem(smaller, bca_s, MD, opts, amg_setup=loaded)
     assert p3.solve().converged
+
+
+def test_aggregation_caps_oversized_cells():
+    """Graded meshes can pack thousands of nodes into one median-sized
+    cell; the aggregation must split them so the padded per-aggregate QR
+    stays bounded (found by review: multi-GB allocation otherwise)."""
+    from magnetite_tpu.fem.amg import _MAX_AGG_SIZE, _aggregate_cells
+
+    rng = np.random.default_rng(0)
+    cluster = rng.uniform(0.0, 0.01, (5000, 2))  # one dense blob
+    spread = rng.uniform(0.0, 10.0, (200, 2))
+    coords = np.concatenate([cluster, spread])
+    agg, centroids = _aggregate_cells(coords, cell=1.0)
+    counts = np.bincount(agg)
+    assert counts.max() <= _MAX_AGG_SIZE
+    assert centroids.shape[0] == int(agg.max()) + 1
+    # every node assigned, ids dense
+    assert counts.min() >= 1

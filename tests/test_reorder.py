@@ -64,12 +64,10 @@ def test_rcm_is_valid_permutation_and_reduces_bandwidth():
     mesh = rect_mesh(20, 14)
     plain = Mesh(coords=mesh.coords, tris=mesh.tris)  # strip grid metadata
     shuffled, _ = _shuffle(plain, seed=3)
-    before = band_stats(shuffled.tris, shuffled.num_nodes)
+    before = band_stats(shuffled.tris)
     order = rcm_order(shuffled.tris, shuffled.num_nodes)
     assert sorted(order.tolist()) == list(range(shuffled.num_nodes))
-    after = band_stats(
-        apply_permutation(shuffled, order).tris, shuffled.num_nodes
-    )
+    after = band_stats(apply_permutation(shuffled, order).tris)
     assert after.bandwidth < before.bandwidth / 4
 
 
@@ -77,11 +75,11 @@ def test_geometric_order_matches_builtin_mesher_ordering():
     # the delaunay backend already emits a lattice-row ordering; re-deriving
     # it geometrically must not make the offset set worse
     mesh = _delaunay_plate()
-    native = band_stats(mesh.tris, mesh.num_nodes)
+    native = band_stats(mesh.tris)
     reordered = apply_permutation(
         mesh, geometric_order(mesh.coords, mesh.tris)
     )
-    redone = band_stats(reordered.tris, mesh.num_nodes)
+    redone = band_stats(reordered.tris)
     assert redone.n_offsets <= max(native.n_offsets, 48)
 
 
