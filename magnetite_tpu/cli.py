@@ -6,8 +6,8 @@ Usage parity with the reference binary (src/main.rs:21-76):
         [--cmap CMAP] [--skip]
 
 plus new flags for the TPU rebuild: --backend {auto,gmsh,delaunay},
---precision {f32,f64}, --save-plot PATH, --out-dir DIR, --profile DIR,
---von-mises. Errors print ``Received error: <stage> error: <msg>`` and
+--precision {f32,f64,mixed}, --operator, --preconditioner, --save-plot
+PATH, --out-dir DIR, --profile DIR, --von-mises. Errors print ``Received error: <stage> error: <msg>`` and
 exit 1 (reference: src/main.rs:43-51).
 """
 
@@ -67,6 +67,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--rtol", type=float, default=None, help="CG relative tolerance"
+    )
+    parser.add_argument(
+        "--operator",
+        choices=["auto", "stencil", "dia", "hybrid", "ell"],
+        default=None,
+        help="sparse operator format (default: auto-select per mesh)",
+    )
+    parser.add_argument(
+        "--preconditioner",
+        choices=["auto", "none", "jacobi", "block_jacobi", "multigrid", "amg"],
+        default=None,
+        help="CG preconditioner (default: auto -- multigrid on structured "
+        "grids, smoothed-aggregation AMG on large unstructured meshes)",
     )
     parser.add_argument(
         "--profile",
@@ -132,6 +145,10 @@ def entry(argv=None) -> None:
         opt_kwargs["cg_rtol"] = args.rtol
     if args.cg_progress > 0:
         opt_kwargs["cg_progress_every"] = args.cg_progress
+    if args.operator is not None:
+        opt_kwargs["operator"] = args.operator
+    if args.preconditioner is not None:
+        opt_kwargs["preconditioner"] = args.preconditioner
     options = SolverOptions(**opt_kwargs)
 
     profile_ctx = None

@@ -112,3 +112,71 @@ def test_renumber_off_falls_back_to_ell(metadata):
     assert problem.mode == "ell"
     assert problem.perm is None
     assert problem.solve().converged
+
+
+def _gmsh_style_msh_text(mesh):
+    """Serialize a mesh as MSH 4.1 ASCII with gmsh's entity ordering:
+    boundary nodes in one block first, interior nodes after -- the
+    band-hostile numbering real gmsh output arrives with."""
+    n = mesh.num_nodes
+    # boundary nodes = nodes on edges that belong to exactly one triangle
+    edges = {}
+    for tri in mesh.tris:
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            key = tuple(sorted((int(tri[a]), int(tri[b]))))
+            edges[key] = edges.get(key, 0) + 1
+    boundary = sorted({v for k, c in edges.items() if c == 1 for v in k})
+    interior = [i for i in range(n) if i not in set(boundary)]
+    order = boundary + interior  # new file order: old index order[i]
+    tag_of = {old: i + 1 for i, old in enumerate(order)}
+
+    lines = ["$MeshFormat", "4.1 0 8", "$EndMeshFormat"]
+    lines += ["$Entities", "0 0 1 0", "1 0 0 0 1 1 0 0 0", "$EndEntities"]
+    lines += ["$Nodes", f"2 {n} 1 {n}"]
+    lines += [f"1 1 0 {len(boundary)}"]
+    lines += [str(tag_of[v]) for v in boundary]
+    lines += [f"{mesh.coords[v, 0]} {mesh.coords[v, 1]} 0" for v in boundary]
+    lines += [f"2 1 0 {len(interior)}"]
+    lines += [str(tag_of[v]) for v in interior]
+    lines += [f"{mesh.coords[v, 0]} {mesh.coords[v, 1]} 0" for v in interior]
+    lines += ["$EndNodes", "$Elements", f"1 {mesh.num_elements} 1 {mesh.num_elements}"]
+    lines += [f"2 1 2 {mesh.num_elements}"]
+    for e, tri in enumerate(mesh.tris):
+        lines.append(
+            f"{e + 1} {tag_of[int(tri[0])]} {tag_of[int(tri[1])]} {tag_of[int(tri[2])]}"
+        )
+    lines += ["$EndElements", ""]
+    return "\n".join(lines)
+
+
+def test_gmsh_ordered_msh_gets_renumbered_banded_solve(metadata):
+    """End-to-end: an MSH file with gmsh's boundary-first numbering lands on
+    the banded operator via auto renumbering, and the solve matches the
+    natively-ordered mesh."""
+    from magnetite_tpu.meshing.msh import parse_msh
+
+    native = _delaunay_plate(h=0.15)
+    parsed = parse_msh(_gmsh_style_msh_text(native))
+    assert parsed.num_nodes == native.num_nodes
+
+    # boundary-first numbering is band-hostile at this size
+    assert build_dia_structure(parsed.tris, parsed.num_nodes, max_diags=48) is None
+
+    rules = _tension_rules()
+    problem = compile_problem(
+        parsed, apply_boundary_conditions(parsed.coords, rules), metadata
+    )
+    assert problem.mode in ("dia", "hybrid")
+    assert problem.perm is not None
+    res = problem.solve()
+
+    ref = solve_system(
+        native, apply_boundary_conditions(native.coords, rules), metadata
+    )
+    # match nodes by coordinates (orderings differ)
+    from scipy.spatial import cKDTree
+
+    idx = cKDTree(native.coords).query(parsed.coords)[1]
+    np.testing.assert_allclose(
+        res.u, ref.u[idx], atol=1e-9 * max(np.abs(ref.u).max(), 1e-30)
+    )
