@@ -22,6 +22,12 @@ Three implementations, picked per mesh:
     gather-ELL solver.
 
 Fixed-iteration PCG keeps all lanes in lockstep.
+
+Multi-chip: design lanes are independent, so every sweep data-parallels
+over a device mesh by sharding the batch axis of its inputs (GSPMD
+partitions the compiled solve; results come back lane-sharded, verified in
+tests/test_parallel.py::test_material_sweep_shards_over_lanes). 2D
+batch x rows sharding for the ELL path lives in parallel/sharding.py.
 """
 
 from __future__ import annotations
