@@ -55,9 +55,15 @@ _DENSE_COARSE_MAX_DOF = 3072
 def _reduce_block_coo(keys, vals):
     """Sum duplicate keys: sorted unique keys + reduced block values.
 
-    Per-component bincount on the unique-inverse ids: one key sort total,
-    and no [M, block] fancy-index gather (which dominated the sort+reduceat
-    formulation at 1M-element scale)."""
+    Native C++ pair-sort + one accumulation pass when available; numpy
+    fallback does per-component bincount on the unique-inverse ids (one key
+    sort total, and no [M, block] fancy-index gather, which dominated the
+    sort+reduceat formulation at 1M-element scale)."""
+    from ..native import sort_reduce_blocks
+
+    native = sort_reduce_blocks(keys, vals)
+    if native is not None:
+        return native
     uniq, inv = np.unique(keys, return_inverse=True)
     flat = vals.reshape(vals.shape[0], -1)
     out = np.empty((uniq.size, flat.shape[1]))
@@ -78,12 +84,25 @@ def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
     treats additively. free: [N,2] float mask (1 = unknown DOF)."""
     from .assembly import build_ell_structure
 
+    from ..native import amg_assemble as native_assemble
+
     n = coords.shape[0]
     s = build_ell_structure(tris, n)
     e = tris.shape[0]
-    # closed-form per-pair 2x2 blocks as scalar [3,3,E] fields (the numpy
-    # mirror of fem/element.pair_block_fields): no [E,6,6] tensor, no
-    # block transpose copies -- this alone halved the 1M-element setup
+    # pair-major slot ids matching the [3,3,E] field layout
+    ids = (
+        s.slot_ids.astype(np.int64).reshape(e, 3, 3).transpose(1, 2, 0).reshape(-1)
+    )
+    rows = np.repeat(np.arange(n, dtype=np.int64), s.width)
+    cols = s.cols.reshape(-1).astype(np.int64)
+    flat = native_assemble(
+        coords, tris, free, e_mod, nu, t, ids, n * s.width
+    )
+    if flat is not None:
+        return rows, cols, flat.reshape(-1, 2, 2)
+    # numpy fallback: closed-form per-pair 2x2 blocks as scalar [3,3,E]
+    # fields (the mirror of fem/element.pair_block_fields): no [E,6,6]
+    # tensor, no block transpose copies
     at = tris.astype(np.int64).T  # [3, E]
     pc = coords[at]  # [3, E, 2]
     x, y = pc[..., 0], pc[..., 1]
@@ -105,17 +124,11 @@ def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
     k01 = coef * (d1 * ba * gb + d2 * ga * bb) * m01
     k10 = coef * (d1 * ga * bb + d2 * ba * gb) * m10
     k11 = coef * (d0 * ga * gb + d2 * ba * bb) * m11
-    # pair-major slot ids matching the [3,3,E] field layout
-    ids = (
-        s.slot_ids.astype(np.int64).reshape(e, 3, 3).transpose(1, 2, 0).reshape(-1)
-    )
     flat = np.empty((n * s.width, 4))
     for c, k in enumerate((k00, k01, k10, k11)):
         flat[:, c] = np.bincount(
             ids, weights=k.reshape(-1), minlength=n * s.width
         )
-    rows = np.repeat(np.arange(n, dtype=np.int64), s.width)
-    cols = s.cols.reshape(-1).astype(np.int64)
     return rows, cols, flat.reshape(-1, 2, 2)
 
 

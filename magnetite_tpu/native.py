@@ -97,6 +97,21 @@ def load() -> Optional[ctypes.CDLL]:
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
         ]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.amg_assemble.restype = ctypes.c_int
+        lib.amg_assemble.argtypes = [
+            f64p,
+            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+            i64,
+            f64p,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            i64p, f64p,
+        ]
+        lib.sort_reduce_blocks.restype = i64
+        lib.sort_reduce_blocks.argtypes = [
+            i64p, f64p, i64, i64, i64p, f64p,
+        ]
         _lib = lib
         return _lib
 
@@ -172,6 +187,42 @@ def ell_structure(tris: np.ndarray, n_nodes: int):
     if rc != 0:
         raise ValueError(f"ELL structure build failed (code {rc})")
     return cols, slot_ids, int(width)
+
+
+def amg_assemble(coords, tris, free_mask, e_mod, nu, t, slot_ids_pm, n_slots):
+    """Native BC-masked closed-form assembly into ELL-flat [n_slots, 4]
+    storage (fem/amg._assemble_block_coo's hot loop), or None."""
+    lib = load()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    free_mask = np.ascontiguousarray(free_mask, dtype=np.float64)
+    slot_ids_pm = np.ascontiguousarray(slot_ids_pm, dtype=np.int64)
+    flat = np.zeros((int(n_slots), 4), dtype=np.float64)
+    lib.amg_assemble(
+        coords, tris, tris.shape[0], free_mask,
+        float(e_mod), float(nu), float(t), slot_ids_pm, flat,
+    )
+    return flat
+
+
+def sort_reduce_blocks(keys: np.ndarray, vals: np.ndarray):
+    """Native duplicate-key block reduction -> (uniq_keys, sums) or None."""
+    lib = load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    shape = vals.shape[1:]
+    flat = np.ascontiguousarray(
+        vals.reshape(vals.shape[0], -1), dtype=np.float64
+    )
+    out_keys = np.empty(keys.size, dtype=np.int64)
+    out_vals = np.empty_like(flat)
+    u = lib.sort_reduce_blocks(
+        keys, flat, keys.size, flat.shape[1], out_keys, out_vals
+    )
+    return out_keys[:u].copy(), out_vals[:u].reshape(-1, *shape).copy()
 
 
 def dia_structure(tris: np.ndarray, n_nodes: int, max_diags: int):

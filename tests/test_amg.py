@@ -249,3 +249,48 @@ def test_aggregation_caps_oversized_cells():
     assert centroids.shape[0] == int(agg.max()) + 1
     # every node assigned, ids dense
     assert counts.min() >= 1
+
+
+def test_amg_on_graded_mesh_converges():
+    """Strongly graded mesh (local refinement ~8x): the aggregate-size cap
+    keeps setup bounded and convergence must stay in the AMG regime."""
+    from scipy.spatial import Delaunay
+
+    from magnetite_tpu.meshing.core import Mesh, normalize_orientation
+
+    rng = np.random.default_rng(3)
+    # coarse background + a dense refined blob around (0.5, 0.5)
+    xs = np.linspace(0, 2, 29)
+    ys = np.linspace(0, 1, 15)
+    gx, gy = np.meshgrid(xs, ys)
+    coarse = np.stack([gx.ravel(), gy.ravel()], -1)
+    coarse += rng.uniform(-0.01, 0.01, coarse.shape) * (
+        (coarse[:, :1] > 0) & (coarse[:, :1] < 2)
+    )
+    blob = np.array([0.5, 0.5]) + rng.uniform(-0.12, 0.12, (1200, 2))
+    pts = np.unique(np.concatenate([coarse, blob]), axis=0)
+    tri = Delaunay(pts)
+    mesh = normalize_orientation(
+        Mesh(coords=pts, tris=tri.simplices.astype(np.int32))
+    )
+
+    n = mesh.num_nodes
+    u_known = np.zeros((n, 2), dtype=bool)
+    u_known[np.isclose(pts[:, 0], 0.0)] = True
+    u_value = np.zeros((n, 2))
+    f_value = np.zeros((n, 2))
+    f_value[np.isclose(pts[:, 0], 2.0), 0] = 1e5
+    from magnetite_tpu.bc import BCArrays
+
+    bca = BCArrays(u_known=u_known, u_value=u_value, f_value=f_value)
+    res = solve_system(
+        mesh, bca, MD, SolverOptions(preconditioner="amg", cg_rtol=1e-9)
+    )
+    assert res.converged and res.residual_rel < 1e-8
+    bj = solve_system(
+        mesh, bca, MD, SolverOptions(preconditioner="block_jacobi", cg_rtol=1e-9)
+    )
+    assert res.iterations < bj.iterations / 3
+    np.testing.assert_allclose(
+        res.u, bj.u, atol=1e-8 * np.abs(bj.u).max()
+    )

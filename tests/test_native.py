@@ -122,3 +122,60 @@ def test_msh_roundtrip_generated():
     np.testing.assert_allclose(m_nat.coords, mesh.coords)
     np.testing.assert_array_equal(m_nat.tris, mesh.tris)
     np.testing.assert_allclose(m_np.coords, mesh.coords)
+
+
+def test_native_sort_reduce_matches_numpy():
+    from magnetite_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(0)
+    keys = rng.integers(0, 500, 10_000).astype(np.int64)
+    vals = rng.standard_normal((10_000, 2, 2))
+    got_k, got_v = native.sort_reduce_blocks(keys, vals)
+    uniq, inv = np.unique(keys, return_inverse=True)
+    want = np.zeros((uniq.size, 4))
+    np.add.at(want, inv, vals.reshape(-1, 4))
+    np.testing.assert_array_equal(got_k, uniq)
+    np.testing.assert_allclose(got_v.reshape(-1, 4), want, atol=1e-12)
+
+
+def test_native_amg_assemble_matches_numpy():
+    from magnetite_tpu import native
+    from magnetite_tpu.fem.amg import _assemble_block_coo
+    from magnetite_tpu.meshing.generators import rect_mesh
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    mesh = rect_mesh(9, 7, width=1.3)
+    rng = np.random.default_rng(1)
+    free = (rng.uniform(size=(mesh.num_nodes, 2)) > 0.2).astype(np.float64)
+    rows, cols, vals = _assemble_block_coo(
+        mesh.coords, mesh.tris, 69e9, 0.33, 0.5, free
+    )
+    # numpy fallback path
+    import os
+
+    os.environ["MAGNETITE_NO_NATIVE"] = "1"
+    try:
+        import importlib
+
+        import magnetite_tpu.native as nat
+
+        # force the flag to take effect for a fresh load decision
+        nat._lib = None
+        nat._load_failed = False
+        rows2, cols2, vals2 = _assemble_block_coo(
+            mesh.coords, mesh.tris, 69e9, 0.33, 0.5, free
+        )
+    finally:
+        del os.environ["MAGNETITE_NO_NATIVE"]
+        nat._lib = None
+        nat._load_failed = False
+    np.testing.assert_array_equal(rows, rows2)
+    np.testing.assert_array_equal(cols, cols2)
+    np.testing.assert_allclose(vals, vals2, atol=1e-9 * np.abs(vals2).max())
