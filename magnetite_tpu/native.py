@@ -30,13 +30,11 @@ _lib_lock = threading.Lock()
 _load_failed = False
 
 
-def _try_build() -> bool:
+def _try_build(force: bool = False) -> bool:
+    cmd = ["make", "-C", _NATIVE_DIR] + (["-B"] if force else [])
     try:
         proc = subprocess.run(
-            ["make", "-C", _NATIVE_DIR],
-            capture_output=True,
-            text=True,
-            timeout=120,
+            cmd, capture_output=True, text=True, timeout=120
         )
         return proc.returncode == 0 and os.path.exists(_SO_PATH)
     except Exception:
@@ -53,67 +51,82 @@ def load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _try_build():
+        # always run make: its dependency rule is a no-op when the .so is
+        # current, and it rebuilds a STALE library left over from an older
+        # source tree (whose missing symbols would otherwise crash the
+        # eager bindings below). Read-only installs fail the build and fall
+        # through to loading whatever exists.
+        built = _try_build()
+        if not os.path.exists(_SO_PATH):
             _load_failed = True
             return None
         try:
             lib = ctypes.CDLL(_SO_PATH)
-        except OSError:
+            _bind(lib)
+        except (OSError, AttributeError):
+            # a library missing current symbols despite a fresh mtime (e.g.
+            # hand-built from older sources): force a full rebuild so the
+            # NEXT interpreter gets the fixed file (dlopen caches the stale
+            # image in this process), and degrade to numpy here
+            _try_build(force=True)
             _load_failed = True
             return None
-
-        i64 = ctypes.c_int64
-        lib.msh_count.restype = ctypes.c_int
-        lib.msh_count.argtypes = [
-            ctypes.c_char_p, i64,
-            ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
-        ]
-        lib.msh_fill.restype = ctypes.c_int
-        lib.msh_fill.argtypes = [
-            ctypes.c_char_p, i64,
-            np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            i64,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ]
-        lib.ell_structure_width.restype = i64
-        lib.ell_structure_width.argtypes = [
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            i64, i64,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        ]
-        lib.ell_structure_fill.restype = ctypes.c_int
-        lib.ell_structure_fill.argtypes = [
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            i64, i64, i64,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-        ]
-        lib.dia_structure.restype = i64
-        lib.dia_structure.argtypes = [
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            i64, i64, i64,
-            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-        ]
-        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
-        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        lib.amg_assemble.restype = ctypes.c_int
-        lib.amg_assemble.argtypes = [
-            f64p,
-            np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
-            i64,
-            f64p,
-            ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            i64p, f64p,
-        ]
-        lib.sort_reduce_blocks.restype = i64
-        lib.sort_reduce_blocks.argtypes = [
-            i64p, f64p, i64, i64, i64p, f64p,
-        ]
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    """Declare every exported symbol (raises AttributeError when stale)."""
+    i64 = ctypes.c_int64
+    lib.msh_count.restype = ctypes.c_int
+    lib.msh_count.argtypes = [
+        ctypes.c_char_p, i64,
+        ctypes.POINTER(i64), ctypes.POINTER(i64), ctypes.POINTER(i64),
+    ]
+    lib.msh_fill.restype = ctypes.c_int
+    lib.msh_fill.argtypes = [
+        ctypes.c_char_p, i64,
+        np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        i64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    lib.ell_structure_width.restype = i64
+    lib.ell_structure_width.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        i64, i64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
+    lib.ell_structure_fill.restype = ctypes.c_int
+    lib.ell_structure_fill.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        i64, i64, i64,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+    ]
+    lib.dia_structure.restype = i64
+    lib.dia_structure.argtypes = [
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        i64, i64, i64,
+        np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+    ]
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.amg_assemble.restype = ctypes.c_int
+    lib.amg_assemble.argtypes = [
+        f64p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        i64,
+        f64p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        i64p, f64p,
+    ]
+    lib.sort_reduce_blocks.restype = i64
+    lib.sort_reduce_blocks.argtypes = [
+        i64p, f64p, i64, i64, i64p, f64p,
+    ]
 
 
 def available() -> bool:

@@ -1,6 +1,7 @@
 """Native C++ host-runtime parity tests (vs the numpy implementations)."""
 
 import contextlib
+import os
 
 import numpy as np
 import pytest
@@ -162,8 +163,6 @@ def test_native_amg_assemble_matches_numpy():
 
     os.environ["MAGNETITE_NO_NATIVE"] = "1"
     try:
-        import importlib
-
         import magnetite_tpu.native as nat
 
         # force the flag to take effect for a fresh load decision
@@ -179,3 +178,47 @@ def test_native_amg_assemble_matches_numpy():
     np.testing.assert_array_equal(rows, rows2)
     np.testing.assert_array_equal(cols, cols2)
     np.testing.assert_allclose(vals, vals2, atol=1e-9 * np.abs(vals2).max())
+
+
+def test_stale_native_library_degrades_gracefully(tmp_path, monkeypatch):
+    """A pre-existing .so missing current symbols must NOT crash load():
+    the process falls back to numpy (and a forced rebuild fixes the file
+    for the next interpreter). Found by review: the eager symbol bindings
+    used to raise AttributeError through every native entry point."""
+    import shutil
+    import subprocess
+
+    from magnetite_tpu import native
+
+    src = os.path.join(os.path.dirname(native.__file__), "_native")
+    work = tmp_path / "_native"
+    shutil.copytree(src, work, ignore=shutil.ignore_patterns("*.so"))
+    # build WITHOUT the amg kernels -> stale symbol set, fresh mtime
+    subprocess.run(
+        [
+            "g++", "-O2", "-fPIC", "-shared", "-std=c++17",
+            str(work / "src" / "msh_parser.cpp"),
+            str(work / "src" / "structure.cpp"),
+            "-o", str(work / "libmagnetite_native.so"),
+        ],
+        check=True,
+    )
+    # make the sources older than the .so so plain `make` is a no-op
+    old = 1_000_000_000
+    for f in (work / "src").iterdir():
+        os.utime(f, (old, old))
+    os.utime(work / "Makefile", (old, old))
+
+    monkeypatch.setattr(native, "_NATIVE_DIR", str(work))
+    monkeypatch.setattr(
+        native, "_SO_PATH", str(work / "libmagnetite_native.so")
+    )
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_load_failed", False)
+    try:
+        assert native.load() is None  # graceful, no AttributeError escape
+        keys = np.array([3, 3, 5], dtype=np.int64)
+        assert native.sort_reduce_blocks(keys, np.ones((3, 1))) is None
+    finally:
+        native._lib = None
+        native._load_failed = False

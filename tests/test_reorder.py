@@ -126,7 +126,8 @@ def _gmsh_style_msh_text(mesh):
             key = tuple(sorted((int(tri[a]), int(tri[b]))))
             edges[key] = edges.get(key, 0) + 1
     boundary = sorted({v for k, c in edges.items() if c == 1 for v in k})
-    interior = [i for i in range(n) if i not in set(boundary)]
+    bset = set(boundary)
+    interior = [i for i in range(n) if i not in bset]
     order = boundary + interior  # new file order: old index order[i]
     tag_of = {old: i + 1 for i, old in enumerate(order)}
 
