@@ -6,10 +6,12 @@ CG solve -> stress recovery -> matplotlib plot), redesigned for TPU:
 
   * host front-end: SVG/CSV parsing, meshing (built-in Delaunay backend or
     Gmsh subprocess), boundary-condition rules -> flat device arrays
-  * device core (JAX/XLA/Pallas): batched einsum element stiffness,
-    segment_sum assembly into block-ELL sparsity, matrix-free block-Jacobi
-    PCG, vmapped stress recovery and design sweeps, shard_map multi-chip
-    solves over a jax.sharding.Mesh
+  * device core (JAX/XLA/Pallas): closed-form fused element assembly into
+    banded/stencil/ELL operators, geometric-multigrid and
+    smoothed-aggregation-AMG preconditioned CG (mesh-independent iteration
+    counts on any triangle mesh), mixed-precision f64/f32 solves, lane-
+    batched load and material design sweeps, shard_map multi-chip solves
+    (halo-exchange stencil and banded paths) over a jax.sharding.Mesh
 """
 
 from .config import (
@@ -31,7 +33,7 @@ from .errors import (
 )
 from .bc import BCArrays, apply_boundary_conditions
 from .meshing.core import Mesh, normalize_orientation, signed_areas
-from .fem.solve import SolveResult, solve_system
+from .fem.solve import CompiledProblem, SolveResult, compile_problem, solve_system
 
 __version__ = "0.1.0"
 
@@ -40,6 +42,7 @@ __all__ = [
     "BoundaryRegion",
     "BoundaryRule",
     "BoundaryTarget",
+    "CompiledProblem",
     "InputError",
     "MagnetiteError",
     "Mesh",
@@ -51,6 +54,7 @@ __all__ = [
     "SolverError",
     "SolverOptions",
     "apply_boundary_conditions",
+    "compile_problem",
     "load_simulation_input",
     "normalize_orientation",
     "parse_simulation_input",
