@@ -200,8 +200,15 @@ def stencil_to_dense_device(stencil: jax.Array, wrap_cols: bool) -> jax.Array:
 
 def dense_coarse_inverse(stencil: jax.Array, wrap_cols: bool) -> jax.Array:
     """Inverse of the (SPD, BC-reduced) level operator for exact coarse
-    solves; computed once per hierarchy build."""
-    return jnp.linalg.inv(stencil_to_dense_device(stencil, wrap_cols))
+    solves; computed once per hierarchy build.
+
+    TPU has no f64 LU (XLA: "Only F32 and C64 types are implemented in
+    LuDecomposition"), so f64 hierarchies there factor in f32 -- plenty for
+    a preconditioner's coarse solve -- and cast back."""
+    dense = stencil_to_dense_device(stencil, wrap_cols)
+    if dense.dtype == jnp.float64 and jax.default_backend() == "tpu":
+        return jnp.linalg.inv(dense.astype(jnp.float32)).astype(dense.dtype)
+    return jnp.linalg.inv(dense)
 
 
 def apply_dense_inverse(dense_inv: jax.Array, r: jax.Array) -> jax.Array:
