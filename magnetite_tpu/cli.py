@@ -195,11 +195,16 @@ def entry(argv=None) -> None:
             log(f"info: checkpointed case to {args.save_case}")
         amg_setup = None
         if args.load_case and os.path.exists(args.load_case + ".amg.npz"):
+            from .errors import InputError
             from .persist import load_amg
 
-            with stage("load-amg"):
-                amg_setup = load_amg(args.load_case + ".amg.npz")
-            log("info: loaded AMG hierarchy cache")
+            try:
+                with stage("load-amg"):
+                    amg_setup = load_amg(args.load_case + ".amg.npz")
+                log("info: loaded AMG hierarchy cache")
+            except InputError as err:
+                # the cache is purely an optimization: never fail the run
+                log(f"warning: ignoring unreadable AMG cache ({err})")
         with stage("solve"):
             # `structure` is the checkpoint's block-ELL sparsity when
             # resuming; `amg_setup` the checkpoint's AMG hierarchy (both

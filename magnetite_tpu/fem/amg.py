@@ -61,6 +61,8 @@ def _reduce_block_coo(keys, vals):
     sort+reduceat formulation at 1M-element scale)."""
     from ..native import sort_reduce_blocks
 
+    if keys.size == 0:
+        return keys.copy(), np.empty((0,) + vals.shape[1:])
     native = sort_reduce_blocks(keys, vals)
     if native is not None:
         return native
@@ -209,7 +211,7 @@ def _coo_matvec(rows, cols, vals, x, n):
 
 
 def _estimate_rho_dinv_a(rows, cols, vals, diag_inv, n, iters=8, seed=0):
-    """rho(D^-1 A) by power iteration (device for large levels)."""
+    """rho(D^-1 A) by power iteration (host numpy, like all setup work)."""
     rng = np.random.default_rng(seed)
     m = vals.shape[1]
     x = rng.standard_normal((n, m))

@@ -207,7 +207,10 @@ def dense_coarse_inverse(stencil: jax.Array, wrap_cols: bool) -> jax.Array:
     a preconditioner's coarse solve -- and cast back."""
     dense = stencil_to_dense_device(stencil, wrap_cols)
     if dense.dtype == jnp.float64 and jax.default_backend() == "tpu":
-        return jnp.linalg.inv(dense.astype(jnp.float32)).astype(dense.dtype)
+        inv = jnp.linalg.inv(dense.astype(jnp.float32)).astype(dense.dtype)
+        # symmetrize: the f32 factorization's ~1e-7 asymmetry would break
+        # the V-cycle's SPD guarantee for f64 CG near tight tolerances
+        return 0.5 * (inv + inv.T)
     return jnp.linalg.inv(dense)
 
 

@@ -536,7 +536,7 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
 
 
 @lru_cache(maxsize=32)
-def _assembly_core(spec: CoreSpec):
+def _assembly_core(mode: str, params):
     """Compile-time operator assembly for the irregular formats.
 
     Assembly depends only on a CompiledProblem's fixed operands, so it runs
@@ -551,17 +551,17 @@ def _assembly_core(spec: CoreSpec):
         from .dia import assemble_dia_fused, assemble_hybrid_fused
 
         n = coords.shape[0]
-        if spec.mode == "dia":
+        if mode == "dia":
             return (
                 assemble_dia_fused(
                     coords, tris, e, nu, t, slot_ids, n,
-                    len(spec.params.offsets),
+                    len(params.offsets),
                 ),
             )
-        if spec.mode == "hybrid":
+        if mode == "hybrid":
             return assemble_hybrid_fused(
                 coords, tris, e, nu, t, slot_ids, n,
-                len(spec.params.offsets), cols.shape[1],
+                len(params.offsets), cols.shape[1],
             )
         return (
             assemble_ell_arrays_fused(
@@ -950,8 +950,18 @@ def compile_problem(
 
         t0 = time.perf_counter()
         setup = amg_setup
-        if setup is not None and setup.level_sizes[0][0] != n:
-            setup = None  # stale cache (different mesh/ordering): rebuild
+        if setup is not None and (perm is not None or setup.level_sizes[0][0] != n):
+            # the provided hierarchy indexes a different node ordering (this
+            # compile renumbered the mesh, or the cache came from another
+            # mesh): a mismatched-but-SPD preconditioner would silently cost
+            # orders of magnitude in iterations, so rebuild loudly
+            from ..utils.logging import log
+
+            log(
+                "warning: provided AMG hierarchy does not match this "
+                "problem's node ordering; rebuilding"
+            )
+            setup = None
         if setup is None:
             setup = build_amg_setup(
                 mesh.coords,
@@ -1009,7 +1019,7 @@ def compile_problem(
     assembled = ()
     if mode in ("dia", "hybrid", "ell"):
         t0 = time.perf_counter()
-        assembled = _assembly_core(spec)(
+        assembled = _assembly_core(spec.mode, spec.params)(
             args[0], args[1], args[2], args[3], args[7], args[8], args[9]
         )
         jax.block_until_ready(assembled)

@@ -56,7 +56,7 @@ def load() -> Optional[ctypes.CDLL]:
         # source tree (whose missing symbols would otherwise crash the
         # eager bindings below). Read-only installs fail the build and fall
         # through to loading whatever exists.
-        built = _try_build()
+        _try_build()
         if not os.path.exists(_SO_PATH):
             _load_failed = True
             return None
@@ -227,6 +227,8 @@ def sort_reduce_blocks(keys: np.ndarray, vals: np.ndarray):
         return None
     keys = np.ascontiguousarray(keys, dtype=np.int64)
     shape = vals.shape[1:]
+    if keys.size == 0:
+        return keys.copy(), np.empty((0,) + shape)
     flat = np.ascontiguousarray(
         vals.reshape(vals.shape[0], -1), dtype=np.float64
     )
