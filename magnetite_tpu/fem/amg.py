@@ -361,10 +361,27 @@ def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
     )
 
 
+def mesh_fingerprint(coords, tris) -> str:
+    """Cheap identity of (mesh, node ordering) for cache validity: sizes +
+    a sample of coords/tris bytes. Renumbering changes it; a deterministic
+    re-renumber of the same mesh reproduces it."""
+    import hashlib
+
+    h = hashlib.sha1()
+    h.update(np.int64(coords.shape[0]).tobytes())
+    h.update(np.int64(tris.shape[0]).tobytes())
+    h.update(np.ascontiguousarray(coords[:4096], np.float64).tobytes())
+    h.update(np.ascontiguousarray(tris[:4096], np.int64).tobytes())
+    return h.hexdigest()
+
+
 @dataclass
 class AMGSetup:
     """Host-side hierarchy. Level 0's operator is NOT stored (the solver
     injects its fast reduced matvec); levels >= 1 carry block-ELL operators.
+
+    `fingerprint` identifies the exact (mesh, node ordering) the hierarchy
+    was built for (None on caches saved before it existed).
 
     transfers[l]: (p_cols [n_l, wp], p_vals [n_l, wp, m_l, m_{l+1}],
                    pt_cols [n_{l+1}, wr], pt_vals [n_{l+1}, wr, m_{l+1}, m_l])
@@ -378,6 +395,7 @@ class AMGSetup:
     coarsest_inv: Optional[np.ndarray]
     level_sizes: list  # [(n_l, m_l)]
     setup_info: dict
+    fingerprint: Optional[str] = None
 
 
 def build_amg_setup(
@@ -488,6 +506,7 @@ def build_amg_setup(
         coarsest_inv=coarsest_inv,
         level_sizes=level_sizes,
         setup_info=info,
+        fingerprint=mesh_fingerprint(coords, tris),
     )
 
 
@@ -644,6 +663,8 @@ def setup_to_arrays(setup: AMGSetup) -> dict:
         "amg_n_transfers": np.int64(len(setup.transfers)),
         "amg_level_sizes": np.asarray(setup.level_sizes, dtype=np.int64),
     }
+    if setup.fingerprint is not None:
+        out["amg_fingerprint"] = np.asarray(setup.fingerprint)
     for l, (pc, pv, tc, tv) in enumerate(setup.transfers):
         out[f"amg_t{l}_pcols"] = pc
         out[f"amg_t{l}_pvals"] = pv
@@ -675,10 +696,12 @@ def setup_from_arrays(data: dict) -> AMGSetup:
         for l in range(n)
     ]
     sizes = [tuple(int(v) for v in row) for row in data["amg_level_sizes"]]
+    fp = data.get("amg_fingerprint")
     return AMGSetup(
         transfers=transfers,
         coarse_ops=coarse,
         coarsest_inv=data.get("amg_coarsest_inv"),
         level_sizes=sizes,
         setup_info={"loaded": True},
+        fingerprint=None if fp is None else str(fp),
     )

@@ -948,20 +948,29 @@ def compile_problem(
     if preconditioner == "amg":
         from .amg import amg_device_arrays, build_amg_setup
 
+        from .amg import mesh_fingerprint
+
         t0 = time.perf_counter()
         setup = amg_setup
-        if setup is not None and (perm is not None or setup.level_sizes[0][0] != n):
-            # the provided hierarchy indexes a different node ordering (this
-            # compile renumbered the mesh, or the cache came from another
-            # mesh): a mismatched-but-SPD preconditioner would silently cost
-            # orders of magnitude in iterations, so rebuild loudly
-            from ..utils.logging import log
+        if setup is not None:
+            # exact (mesh, ordering) identity check: a hierarchy saved from
+            # a renumbered compile matches the deterministic re-renumber of
+            # the same mesh, while one built on a DIFFERENT ordering (same
+            # node count) is rejected -- a mismatched-but-SPD preconditioner
+            # would silently cost orders of magnitude in iterations. Caches
+            # without a fingerprint fall back to the conservative check.
+            if setup.fingerprint is not None:
+                ok = setup.fingerprint == mesh_fingerprint(mesh.coords, mesh.tris)
+            else:
+                ok = perm is None and setup.level_sizes[0][0] == n
+            if not ok:
+                from ..utils.logging import log
 
-            log(
-                "warning: provided AMG hierarchy does not match this "
-                "problem's node ordering; rebuilding"
-            )
-            setup = None
+                log(
+                    "warning: provided AMG hierarchy does not match this "
+                    "problem's node ordering; rebuilding"
+                )
+                setup = None
         if setup is None:
             setup = build_amg_setup(
                 mesh.coords,

@@ -268,18 +268,22 @@ def prepare_sharded_dia_problem(
     f = np.zeros((2, np_pad))
     f[:, :n] = bca.f_value.T
 
-    if amg_setup is not None and (
-        perm is not None or amg_setup.level_sizes[0][0] != n
-    ):
-        # the provided hierarchy indexes a different node ordering (the mesh
-        # was renumbered here, or it came from another mesh): rebuild
-        from ..utils.logging import log
+    if amg_setup is not None:
+        from ..fem.amg import mesh_fingerprint
 
-        log(
-            "warning: provided AMG hierarchy does not match the sharded "
-            "problem's node ordering; rebuilding"
-        )
-        amg_setup = None
+        if amg_setup.fingerprint is not None:
+            ok = amg_setup.fingerprint == mesh_fingerprint(mesh.coords, mesh.tris)
+        else:
+            ok = perm is None and amg_setup.level_sizes[0][0] == n
+        if not ok:
+            # a hierarchy for a different node ordering: rebuild
+            from ..utils.logging import log
+
+            log(
+                "warning: provided AMG hierarchy does not match the sharded "
+                "problem's node ordering; rebuilding"
+            )
+            amg_setup = None
     if amg_setup is None:
         amg_setup = build_amg_setup(
             mesh.coords,

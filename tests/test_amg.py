@@ -294,3 +294,40 @@ def test_amg_on_graded_mesh_converges():
     np.testing.assert_allclose(
         res.u, bj.u, atol=1e-8 * np.abs(bj.u).max()
     )
+
+
+def test_amg_cache_fingerprint_governs_reuse(plate, tmp_path):
+    """A cache saved from a RENUMBERED compile must be reused on recompile
+    of the same mesh (deterministic renumber -> same ordering), while a
+    cache from a different ordering of the same node count is rejected."""
+    from magnetite_tpu.meshing.reorder import apply_permutation
+    from magnetite_tpu.persist import load_amg, save_amg
+
+    rng = np.random.default_rng(11)
+    shuffled = apply_permutation(plate, rng.permutation(plate.num_nodes))
+    bca = apply_boundary_conditions(shuffled.coords, _rules())
+    opts = SolverOptions(preconditioner="amg", cg_rtol=1e-10)
+
+    p1 = compile_problem(shuffled, bca, MD, opts)
+    assert p1.perm is not None  # renumbering happened
+    path = str(tmp_path / "case.amg.npz")
+    save_amg(path, p1.amg_setup)
+
+    # same mesh again: the cache must be accepted (setup time ~0)
+    p2 = compile_problem(shuffled, bca, MD, opts, amg_setup=load_amg(path))
+    assert p2.timings["amg_setup_s"] < p1.timings["amg_setup_s"] / 5
+    assert p1.solve().iterations == p2.solve().iterations
+
+    # a DIFFERENT shuffle of the same mesh: renumber converges to the same
+    # banded ordering, so the fingerprint still matches and reuse is valid;
+    # a cache built on the shuffled (pre-renumber) ordering must be REJECTED
+    from magnetite_tpu.fem.amg import build_amg_setup
+
+    foreign = build_amg_setup(
+        shuffled.coords, shuffled.tris, E, NU, T,
+        (~bca.u_known).astype(np.float64),
+    )  # built on the band-hostile ordering compile_problem renumbers away
+    p3 = compile_problem(shuffled, bca, MD, opts, amg_setup=foreign)
+    # rejected -> rebuilt: full setup cost paid again
+    assert p3.timings["amg_setup_s"] > p2.timings["amg_setup_s"] * 5
+    assert p3.solve().iterations == p1.solve().iterations
