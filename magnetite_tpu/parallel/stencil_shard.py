@@ -631,3 +631,235 @@ def sharded_stencil_refined_solve(
         ),
         ku,
     )
+
+
+# ------------------------- 2D (rows x cols) sharding ------------------------
+#
+# TPU pods are 2D ICI tori; sharding BOTH grid axes maps the stencil's halo
+# traffic onto both torus dimensions and keeps per-chip boundary sizes
+# shrinking as the mesh grows in either direction. The 9-point stencil's
+# corner neighbors ride along for free with the standard sequential
+# exchange: rows first, then cols ON THE ROW-EXTENDED block. A wrapped
+# (annulus) col axis becomes a ppermute ring pair -- the local operator
+# never wraps, because the halos supply the periodic neighbors.
+
+
+def _ring_pairs(n, forward: bool, wrap: bool):
+    pairs = (
+        [(j, j + 1) for j in range(n - 1)]
+        if forward
+        else [(j + 1, j) for j in range(n - 1)]
+    )
+    if wrap and n > 1:
+        pairs.append((n - 1, 0) if forward else (0, n - 1))
+    return pairs
+
+
+def exchange_halo_2d(
+    u_local: jax.Array,  # [2, rl, cl]
+    row_axis: str,
+    col_axis: str,
+    wrap_cols: bool,
+) -> jax.Array:
+    """[2, rl, cl] -> [2, rl+2, cl+2] with all 8 neighbor halos.
+
+    Row edges receive zeros at the grid boundary (zero-padding semantics);
+    col edges receive zeros only when the col axis is not periodic.
+    """
+    nr = jax.lax.axis_size(row_axis)
+    nc = jax.lax.axis_size(col_axis)
+    from_above = jax.lax.ppermute(
+        u_local[:, -1:, :], row_axis, _ring_pairs(nr, True, False)
+    )
+    from_below = jax.lax.ppermute(
+        u_local[:, :1, :], row_axis, _ring_pairs(nr, False, False)
+    )
+    u_ext = jnp.concatenate([from_above, u_local, from_below], axis=1)
+    # cols on the row-extended block: corners arrive with the halo columns.
+    # single-col shard with wrap: the periodic neighbor is the shard itself
+    if wrap_cols and nc == 1:
+        from_left = u_ext[:, :, -1:]
+        from_right = u_ext[:, :, :1]
+    else:
+        from_left = jax.lax.ppermute(
+            u_ext[:, :, -1:], col_axis, _ring_pairs(nc, True, wrap_cols)
+        )
+        from_right = jax.lax.ppermute(
+            u_ext[:, :, :1], col_axis, _ring_pairs(nc, False, wrap_cols)
+        )
+    return jnp.concatenate([from_left, u_ext, from_right], axis=2)
+
+
+def make_halo_stencil_operator_2d(
+    st_local: jax.Array,  # [9, 2, 2, rl, cl]
+    row_axis: str,
+    col_axis: str,
+    wrap_cols: bool,
+):
+    """2D-sharded op(u) = K u: one 8-neighbor halo exchange + the local
+    stencil on the extended block (zero-padded local stencil, never
+    wrapping -- periodicity lives entirely in the exchange)."""
+    from ..fem.stencil import make_stencil_operator
+
+    rl, cl = st_local.shape[-2], st_local.shape[-1]
+    st_ext = jnp.pad(st_local, ((0, 0),) * 3 + ((1, 1), (1, 1)))
+    # XLA formulation: the col-extended width cl+2 is never a lane multiple,
+    # so the Pallas kernel does not apply here (1D row sharding keeps it)
+    local_op = make_stencil_operator(st_ext, wrap_cols=False, impl="xla")
+
+    def op(u_local):
+        u_ext = exchange_halo_2d(u_local, row_axis, col_axis, wrap_cols)
+        y_ext = local_op(u_ext)
+        return jax.lax.slice(y_ext, (0, 1, 1), (2, 1 + rl, 1 + cl))
+
+    return op
+
+
+def prepare_sharded_stencil_problem_2d(
+    fem_mesh: FemMesh,
+    bca: BCArrays,
+    metadata: ModelMetadata,
+    device_mesh: Mesh,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+    dtype=np.float32,
+) -> ShardedStencilProblem:
+    """Assemble + lay out over a 2D (rows x cols) device mesh.
+
+    Rows pad to a multiple of the row shards (identity pad rows, free=0).
+    Cols must divide evenly when wrapped (padding would break periodicity);
+    unwrapped cols pad like rows.
+    """
+    if fem_mesh.grid_shape is None:
+        raise SolverError("sharded stencil solve needs a structured grid mesh")
+    rows, cols = fem_mesh.grid_shape
+    wrap = fem_mesh.wrap_cols
+    n_row_shards = device_mesh.shape[row_axis]
+    n_col_shards = device_mesh.shape[col_axis]
+    rows_pad = math.ceil(rows / n_row_shards) * n_row_shards
+    if wrap:
+        if cols % n_col_shards:
+            raise SolverError(
+                f"wrapped cols ({cols}) must divide evenly over "
+                f"{n_col_shards} col shards (padding breaks periodicity)"
+            )
+        cols_pad = cols
+    else:
+        cols_pad = math.ceil(cols / n_col_shards) * n_col_shards
+
+    base = prepare_sharded_stencil_problem(
+        fem_mesh, bca, metadata, device_mesh, axis=row_axis, dtype=dtype
+    )
+
+    def pad_cols(a: np.ndarray) -> np.ndarray:
+        pad = [(0, 0)] * a.ndim
+        pad[-1] = (0, cols_pad - cols)
+        return np.pad(np.asarray(a), pad)
+
+    red_np = pad_cols(base.reduced)
+    raw_np = pad_cols(base.raw)
+    dinv_np = pad_cols(base.diag_inv)
+    if cols_pad != cols:
+        red_np[CENTER, 0, 0, :, cols:] = 1.0
+        red_np[CENTER, 1, 1, :, cols:] = 1.0
+        dinv_np[0, 0, :, cols:] = 1.0
+        dinv_np[1, 1, :, cols:] = 1.0
+
+    shard5 = NamedSharding(
+        device_mesh, P(None, None, None, row_axis, col_axis)
+    )
+    shard4 = NamedSharding(device_mesh, P(None, None, row_axis, col_axis))
+    shard3 = NamedSharding(device_mesh, P(None, row_axis, col_axis))
+    return ShardedStencilProblem(
+        device_mesh=device_mesh,
+        axis=row_axis,
+        reduced=jax.device_put(red_np, shard5),
+        raw=jax.device_put(raw_np, shard5),
+        free_g=jax.device_put(pad_cols(base.free_g), shard3),
+        u_fixed_g=jax.device_put(pad_cols(base.u_fixed_g), shard3),
+        f_g=jax.device_put(pad_cols(base.f_g), shard3),
+        diag_inv=jax.device_put(dinv_np, shard4),
+        rows=rows,
+        cols=cols,
+        wrap_cols=wrap,
+    )
+
+
+def _local_pcg_2d(
+    reduced, raw, free_g, u_fixed_g, f_g, diag_inv,
+    *, row_axis, col_axis, wrap, rtol, maxiter,
+):
+    raw_mv = make_halo_stencil_operator_2d(raw, row_axis, col_axis, wrap)
+    op = make_halo_stencil_operator_2d(reduced, row_axis, col_axis, wrap)
+
+    def precond(r):
+        return _apply_dinv(diag_inv, r)
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), (row_axis, col_axis))
+
+    b = free_g * (f_g - raw_mv((1.0 - free_g) * u_fixed_g)) + (
+        1.0 - free_g
+    ) * u_fixed_g
+    result = pcg(
+        op, b, preconditioner=precond, x0=u_fixed_g,
+        rtol=rtol, maxiter=maxiter, dot=dot,
+    )
+    ku = raw_mv(result.x)
+    return result.x, ku, result.iterations, result.residual_norm, result.converged
+
+
+def sharded_stencil_pcg_solve_2d(
+    problem: ShardedStencilProblem,
+    rtol: float = 1e-6,
+    maxiter: int = 100_000,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+):
+    """2D (rows x cols) sharded block-Jacobi PCG. Returns (CGResult, ku)
+    with x, ku [2, Rp, Cp] sharded over both axes.
+
+    Use `prepare_sharded_stencil_problem_2d` for the problem layout. For
+    deep convergence on coarsenable grids the 1D row-sharded multigrid
+    solve remains the fast path; this one demonstrates/validates the
+    2D-torus halo layout."""
+    if problem.reduced.dtype == jnp.float32:
+        from ..fem.solve import _f32_rtol_floor
+        from ..utils.logging import log
+
+        floor = _f32_rtol_floor()
+        if rtol < floor:
+            log(
+                f"warning: requested rtol {rtol:.1e} is below the f32 floor;"
+                f" clamping to {floor:.1e}"
+            )
+            rtol = floor
+    spec5 = P(None, None, None, row_axis, col_axis)
+    spec4 = P(None, None, row_axis, col_axis)
+    spec3 = P(None, row_axis, col_axis)
+    solve = jax.jit(
+        jax.shard_map(
+            partial(
+                _local_pcg_2d,
+                row_axis=row_axis,
+                col_axis=col_axis,
+                wrap=problem.wrap_cols,
+                rtol=rtol,
+                maxiter=maxiter,
+            ),
+            mesh=problem.device_mesh,
+            in_specs=(spec5, spec5, spec3, spec3, spec3, spec4),
+            out_specs=(spec3, spec3, P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    x, ku, iters, resnorm, converged = solve(
+        problem.reduced, problem.raw, problem.free_g,
+        problem.u_fixed_g, problem.f_g, problem.diag_inv,
+    )
+    return (
+        CGResult(
+            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+        ),
+        ku,
+    )

@@ -252,3 +252,62 @@ def test_sharded_refined_requires_f64(metadata, device_mesh):
     )
     with pytest.raises(SolverError, match="f64"):
         sharded_stencil_refined_solve(problem)
+
+
+@pytest.fixture(scope="module")
+def device_mesh_2d():
+    assert len(jax.devices()) >= 8
+    return jax.make_mesh((2, 4), ("rows", "cols"))
+
+
+@pytest.mark.parametrize(
+    "case",
+    [
+        lambda: _plate_case(23, 16),  # annulus: wrapped cols over 4 shards
+        lambda: (rect_mesh(13, 12, width=2.0), None),  # unwrapped, col pad
+    ],
+)
+def test_2d_sharded_stencil_matches_single_device(metadata, device_mesh_2d, case):
+    """rows x cols sharding (2D ICI torus layout): 8-neighbor halo exchange
+    parity vs the single-device solver, wrapped and unwrapped cols."""
+    from magnetite_tpu.parallel.stencil_shard import (
+        prepare_sharded_stencil_problem_2d,
+        sharded_stencil_pcg_solve_2d,
+    )
+
+    mesh, bca = case()
+    if bca is None:
+        bca = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    problem = prepare_sharded_stencil_problem_2d(
+        mesh, bca, metadata, device_mesh_2d, dtype=np.float64
+    )
+    result, ku = sharded_stencil_pcg_solve_2d(problem, rtol=1e-11)
+    assert bool(result.converged)
+
+    rows, cols = mesh.grid_shape
+    u_sharded = np.asarray(result.x)[:, :rows, :cols].reshape(2, -1).T
+    reference = solve_system(mesh, bca, metadata, SolverOptions(cg_rtol=1e-12))
+    scale = np.abs(reference.u).max()
+    np.testing.assert_allclose(
+        u_sharded, reference.u, rtol=1e-7, atol=1e-8 * scale
+    )
+    f_sharded = np.asarray(ku)[:, :rows, :cols].reshape(2, -1).T
+    np.testing.assert_allclose(
+        f_sharded[bca.u_known],
+        reference.f[bca.u_known],
+        rtol=1e-6,
+        atol=1e-6 * np.abs(reference.f).max(),
+    )
+
+
+def test_2d_wrapped_cols_must_divide(metadata, device_mesh_2d):
+    from magnetite_tpu.errors import SolverError
+    from magnetite_tpu.parallel.stencil_shard import (
+        prepare_sharded_stencil_problem_2d,
+    )
+
+    mesh, bca = _plate_case(15, 18)  # 18 wrapped cols over 4 shards: no
+    with pytest.raises(SolverError, match="divide"):
+        prepare_sharded_stencil_problem_2d(
+            mesh, bca, metadata, device_mesh_2d, dtype=np.float64
+        )
