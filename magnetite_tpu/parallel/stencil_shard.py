@@ -863,3 +863,79 @@ def sharded_stencil_pcg_solve_2d(
         ),
         ku,
     )
+
+
+def _local_refined_2d(
+    reduced64, raw64, free_g, u_fixed_g, f_g, diag_inv64,
+    *, row_axis, col_axis, wrap, rtol, maxiter,
+):
+    """2D-sharded f64 CG with the f32 block-Jacobi preconditioner."""
+    f32 = jnp.float32
+    raw_mv = make_halo_stencil_operator_2d(raw64, row_axis, col_axis, wrap)
+    op = make_halo_stencil_operator_2d(reduced64, row_axis, col_axis, wrap)
+    diag_inv32 = diag_inv64.astype(f32)
+
+    def precond(r):
+        return _apply_dinv(diag_inv32, r.astype(f32)).astype(r.dtype)
+
+    def dot(a, b):
+        return jax.lax.psum(jnp.sum(a * b), (row_axis, col_axis))
+
+    b = free_g * (f_g - raw_mv((1.0 - free_g) * u_fixed_g)) + (
+        1.0 - free_g
+    ) * u_fixed_g
+    result = pcg(
+        op, b, preconditioner=precond, x0=u_fixed_g,
+        rtol=rtol, maxiter=maxiter, dot=dot,
+    )
+    ku = raw_mv(result.x)
+    return result.x, ku, result.iterations, result.residual_norm, result.converged
+
+
+def sharded_stencil_refined_solve_2d(
+    problem: ShardedStencilProblem,
+    rtol: float = 1e-9,
+    maxiter: int = 100_000,
+    row_axis: str = "rows",
+    col_axis: str = "cols",
+):
+    """2D-sharded f64-accurate solve (prepare with dtype=np.float64).
+
+    f64 CG over the 2D halo operator with an f32 block-Jacobi
+    preconditioner; psum reductions over both torus axes. The 1D
+    row-sharded multigrid refined solve remains the iteration-count
+    champion; this closes the accuracy story for the 2D layout."""
+    if problem.reduced.dtype != jnp.float64:
+        raise SolverError(
+            "2D refined solve needs an f64 problem: prepare with "
+            "dtype=np.float64 (and jax_enable_x64)"
+        )
+    spec5 = P(None, None, None, row_axis, col_axis)
+    spec4 = P(None, None, row_axis, col_axis)
+    spec3 = P(None, row_axis, col_axis)
+    solve = jax.jit(
+        jax.shard_map(
+            partial(
+                _local_refined_2d,
+                row_axis=row_axis,
+                col_axis=col_axis,
+                wrap=problem.wrap_cols,
+                rtol=rtol,
+                maxiter=maxiter,
+            ),
+            mesh=problem.device_mesh,
+            in_specs=(spec5, spec5, spec3, spec3, spec3, spec4),
+            out_specs=(spec3, spec3, P(), P(), P()),
+            check_vma=False,
+        )
+    )
+    x, ku, iters, resnorm, converged = solve(
+        problem.reduced, problem.raw, problem.free_g,
+        problem.u_fixed_g, problem.f_g, problem.diag_inv,
+    )
+    return (
+        CGResult(
+            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+        ),
+        ku,
+    )

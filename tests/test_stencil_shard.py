@@ -311,3 +311,23 @@ def test_2d_wrapped_cols_must_divide(metadata, device_mesh_2d):
         prepare_sharded_stencil_problem_2d(
             mesh, bca, metadata, device_mesh_2d, dtype=np.float64
         )
+
+
+def test_2d_refined_solve_reaches_deep_tolerance(metadata, device_mesh_2d):
+    from magnetite_tpu.parallel.stencil_shard import (
+        prepare_sharded_stencil_problem_2d,
+        sharded_stencil_refined_solve_2d,
+    )
+
+    mesh, bca = _plate_case(23, 16)
+    problem = prepare_sharded_stencil_problem_2d(
+        mesh, bca, metadata, device_mesh_2d, dtype=np.float64
+    )
+    result, _ = sharded_stencil_refined_solve_2d(problem, rtol=1e-10)
+    assert bool(result.converged)
+    rows, cols = mesh.grid_shape
+    u_sharded = np.asarray(result.x)[:, :rows, :cols].reshape(2, -1).T
+    reference = solve_system(mesh, bca, metadata, SolverOptions(cg_rtol=1e-12))
+    np.testing.assert_allclose(
+        u_sharded, reference.u, atol=1e-9 * np.abs(reference.u).max()
+    )
