@@ -361,17 +361,21 @@ def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
     )
 
 
-def mesh_fingerprint(coords, tris) -> str:
-    """Cheap identity of (mesh, node ordering) for cache validity: sizes +
-    a sample of coords/tris bytes. Renumbering changes it; a deterministic
-    re-renumber of the same mesh reproduces it."""
+def setup_fingerprint(coords, tris, free, e_mod, nu, t) -> str:
+    """Exact identity of everything a hierarchy build depends on: the full
+    mesh bytes (renumbering changes them; a deterministic re-renumber of
+    the same mesh reproduces them), the BC free mask, and the material.
+    sha1 over ~40 MB at 1M elements costs ~0.1 s -- negligible next to the
+    build it validates."""
     import hashlib
 
     h = hashlib.sha1()
     h.update(np.int64(coords.shape[0]).tobytes())
     h.update(np.int64(tris.shape[0]).tobytes())
-    h.update(np.ascontiguousarray(coords[:4096], np.float64).tobytes())
-    h.update(np.ascontiguousarray(tris[:4096], np.int64).tobytes())
+    h.update(np.ascontiguousarray(coords, np.float64).tobytes())
+    h.update(np.ascontiguousarray(tris, np.int64).tobytes())
+    h.update(np.ascontiguousarray(free, np.float64).tobytes())
+    h.update(np.asarray([e_mod, nu, t], np.float64).tobytes())
     return h.hexdigest()
 
 
@@ -506,7 +510,9 @@ def build_amg_setup(
         coarsest_inv=coarsest_inv,
         level_sizes=level_sizes,
         setup_info=info,
-        fingerprint=mesh_fingerprint(coords, tris),
+        fingerprint=setup_fingerprint(
+            coords, tris, free, float(e_mod), float(nu), float(t)
+        ),
     )
 
 

@@ -948,7 +948,7 @@ def compile_problem(
     if preconditioner == "amg":
         from .amg import amg_device_arrays, build_amg_setup
 
-        from .amg import mesh_fingerprint
+        from .amg import setup_fingerprint
 
         t0 = time.perf_counter()
         setup = amg_setup
@@ -960,7 +960,14 @@ def compile_problem(
             # would silently cost orders of magnitude in iterations. Caches
             # without a fingerprint fall back to the conservative check.
             if setup.fingerprint is not None:
-                ok = setup.fingerprint == mesh_fingerprint(mesh.coords, mesh.tris)
+                ok = setup.fingerprint == setup_fingerprint(
+                    mesh.coords,
+                    mesh.tris,
+                    (~bca.u_known).astype(np.float64),
+                    metadata.youngs_modulus,
+                    metadata.poisson_ratio,
+                    metadata.part_thickness,
+                )
             else:
                 ok = perm is None and setup.level_sizes[0][0] == n
             if not ok:

@@ -269,10 +269,17 @@ def prepare_sharded_dia_problem(
     f[:, :n] = bca.f_value.T
 
     if amg_setup is not None:
-        from ..fem.amg import mesh_fingerprint
+        from ..fem.amg import setup_fingerprint
 
         if amg_setup.fingerprint is not None:
-            ok = amg_setup.fingerprint == mesh_fingerprint(mesh.coords, mesh.tris)
+            ok = amg_setup.fingerprint == setup_fingerprint(
+                mesh.coords,
+                mesh.tris,
+                (~bca.u_known).astype(np.float64),
+                metadata.youngs_modulus,
+                metadata.poisson_ratio,
+                metadata.part_thickness,
+            )
         else:
             ok = perm is None and amg_setup.level_sizes[0][0] == n
         if not ok:

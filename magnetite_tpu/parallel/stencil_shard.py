@@ -61,6 +61,8 @@ class ShardedStencilProblem:
     rows: int  # un-padded row count
     cols: int
     wrap_cols: bool
+    # set by the 2D prepare: name of the col mesh axis (None = 1D rows-only)
+    col_axis: str = None
 
 
 def _pad_grid_rows(a: np.ndarray, rows_pad: int, row_axis: int) -> np.ndarray:
@@ -69,25 +71,13 @@ def _pad_grid_rows(a: np.ndarray, rows_pad: int, row_axis: int) -> np.ndarray:
     return np.pad(a, pad)
 
 
-def prepare_sharded_stencil_problem(
-    fem_mesh: FemMesh,
-    bca: BCArrays,
-    metadata: ModelMetadata,
-    device_mesh: Mesh,
-    axis: str = "rows",
-    dtype=np.float32,
-) -> ShardedStencilProblem:
-    """Assemble the BC-reduced stencil and lay it out row-sharded."""
-    if fem_mesh.grid_shape is None:
-        raise SolverError("sharded stencil solve needs a structured grid mesh")
+def _build_host_arrays(fem_mesh, bca, metadata, rows_pad, dtype):
+    """Assemble + BC-reduce (one device jit), return row-padded HOST arrays
+    (raw, reduced, diag_inv, free_g, u_fixed_g, f_g); pad rows carry
+    identity stencil rows (free=0 semantics). Shared by the 1D and 2D
+    prepares so each does exactly one host->device placement."""
     rows, cols = fem_mesh.grid_shape
     wrap = fem_mesh.wrap_cols
-    n_shards = device_mesh.shape[axis]
-    rows_pad = math.ceil(rows / n_shards) * n_shards
-
-    # assemble + reduce on host-driven single jit (replicated inputs),
-    # then lay out row-sharded; assembly is one-time, the solve loop is
-    # what must be communication-minimal
     from ..fem.solve import _grid, _reduce_stencil
     from ..fem.stencil import (
         assemble_stencil_fused,
@@ -137,16 +127,43 @@ def prepare_sharded_stencil_problem(
         coords, jnp.asarray(fem_mesh.tris, dtype=jnp.int32), free_g
     )
 
-    # pad rows; pad stencil rows are identity (free=0 semantics)
-    pad = rows_pad - rows
-    raw_np = _pad_grid_rows(np.asarray(raw), rows_pad, 3)
-    red_np = _pad_grid_rows(np.asarray(reduced), rows_pad, 3)
-    dinv_np = _pad_grid_rows(np.asarray(diag_inv), rows_pad, 2)
-    if pad:
+    raw_np = _pad_grid_rows(np.asarray(raw), rows_pad, 3).astype(dtype)
+    red_np = _pad_grid_rows(np.asarray(reduced), rows_pad, 3).astype(dtype)
+    dinv_np = _pad_grid_rows(np.asarray(diag_inv), rows_pad, 2).astype(dtype)
+    if rows_pad != rows:
         red_np[CENTER, 0, 0, rows:, :] = 1.0
         red_np[CENTER, 1, 1, rows:, :] = 1.0
         dinv_np[0, 0, rows:, :] = 1.0
         dinv_np[1, 1, rows:, :] = 1.0
+    return (
+        raw_np,
+        red_np,
+        dinv_np,
+        _pad_grid_rows(np.asarray(free_g), rows_pad, 1),
+        _pad_grid_rows(np.asarray(u_fixed_g), rows_pad, 1),
+        _pad_grid_rows(np.asarray(f_g), rows_pad, 1),
+    )
+
+
+def prepare_sharded_stencil_problem(
+    fem_mesh: FemMesh,
+    bca: BCArrays,
+    metadata: ModelMetadata,
+    device_mesh: Mesh,
+    axis: str = "rows",
+    dtype=np.float32,
+) -> ShardedStencilProblem:
+    """Assemble the BC-reduced stencil and lay it out row-sharded."""
+    if fem_mesh.grid_shape is None:
+        raise SolverError("sharded stencil solve needs a structured grid mesh")
+    rows, cols = fem_mesh.grid_shape
+    wrap = fem_mesh.wrap_cols
+    n_shards = device_mesh.shape[axis]
+    rows_pad = math.ceil(rows / n_shards) * n_shards
+
+    raw_np, red_np, dinv_np, free_np, u_fixed_np, f_np = _build_host_arrays(
+        fem_mesh, bca, metadata, rows_pad, dtype
+    )
 
     shard5 = NamedSharding(device_mesh, P(None, None, None, axis, None))
     shard4 = NamedSharding(device_mesh, P(None, None, axis, None))
@@ -155,16 +172,12 @@ def prepare_sharded_stencil_problem(
     return ShardedStencilProblem(
         device_mesh=device_mesh,
         axis=axis,
-        reduced=jax.device_put(red_np.astype(dtype), shard5),
-        raw=jax.device_put(raw_np.astype(dtype), shard5),
-        free_g=jax.device_put(
-            _pad_grid_rows(np.asarray(free_g), rows_pad, 1), shard3
-        ),
-        u_fixed_g=jax.device_put(
-            _pad_grid_rows(np.asarray(u_fixed_g), rows_pad, 1), shard3
-        ),
-        f_g=jax.device_put(_pad_grid_rows(np.asarray(f_g), rows_pad, 1), shard3),
-        diag_inv=jax.device_put(dinv_np.astype(dtype), shard4),
+        reduced=jax.device_put(red_np, shard5),
+        raw=jax.device_put(raw_np, shard5),
+        free_g=jax.device_put(free_np, shard3),
+        u_fixed_g=jax.device_put(u_fixed_np, shard3),
+        f_g=jax.device_put(f_np, shard3),
+        diag_inv=jax.device_put(dinv_np, shard4),
         rows=rows,
         cols=cols,
         wrap_cols=wrap,
@@ -666,15 +679,8 @@ def exchange_halo_2d(
     Row edges receive zeros at the grid boundary (zero-padding semantics);
     col edges receive zeros only when the col axis is not periodic.
     """
-    nr = jax.lax.axis_size(row_axis)
     nc = jax.lax.axis_size(col_axis)
-    from_above = jax.lax.ppermute(
-        u_local[:, -1:, :], row_axis, _ring_pairs(nr, True, False)
-    )
-    from_below = jax.lax.ppermute(
-        u_local[:, :1, :], row_axis, _ring_pairs(nr, False, False)
-    )
-    u_ext = jnp.concatenate([from_above, u_local, from_below], axis=1)
+    u_ext = exchange_halo_rows(u_local, row_axis)
     # cols on the row-extended block: corners arrive with the halo columns.
     # single-col shard with wrap: the periodic neighbor is the shard itself
     if wrap_cols and nc == 1:
@@ -747,18 +753,16 @@ def prepare_sharded_stencil_problem_2d(
     else:
         cols_pad = math.ceil(cols / n_col_shards) * n_col_shards
 
-    base = prepare_sharded_stencil_problem(
-        fem_mesh, bca, metadata, device_mesh, axis=row_axis, dtype=dtype
+    raw_np, red_np, dinv_np, free_np, u_fixed_np, f_np = _build_host_arrays(
+        fem_mesh, bca, metadata, rows_pad, dtype
     )
 
     def pad_cols(a: np.ndarray) -> np.ndarray:
         pad = [(0, 0)] * a.ndim
         pad[-1] = (0, cols_pad - cols)
-        return np.pad(np.asarray(a), pad)
+        return np.pad(a, pad)
 
-    red_np = pad_cols(base.reduced)
-    raw_np = pad_cols(base.raw)
-    dinv_np = pad_cols(base.diag_inv)
+    raw_np, red_np, dinv_np = pad_cols(raw_np), pad_cols(red_np), pad_cols(dinv_np)
     if cols_pad != cols:
         red_np[CENTER, 0, 0, :, cols:] = 1.0
         red_np[CENTER, 1, 1, :, cols:] = 1.0
@@ -775,13 +779,14 @@ def prepare_sharded_stencil_problem_2d(
         axis=row_axis,
         reduced=jax.device_put(red_np, shard5),
         raw=jax.device_put(raw_np, shard5),
-        free_g=jax.device_put(pad_cols(base.free_g), shard3),
-        u_fixed_g=jax.device_put(pad_cols(base.u_fixed_g), shard3),
-        f_g=jax.device_put(pad_cols(base.f_g), shard3),
+        free_g=jax.device_put(pad_cols(free_np), shard3),
+        u_fixed_g=jax.device_put(pad_cols(u_fixed_np), shard3),
+        f_g=jax.device_put(pad_cols(f_np), shard3),
         diag_inv=jax.device_put(dinv_np, shard4),
         rows=rows,
         cols=cols,
         wrap_cols=wrap,
+        col_axis=col_axis,
     )
 
 
@@ -813,8 +818,6 @@ def sharded_stencil_pcg_solve_2d(
     problem: ShardedStencilProblem,
     rtol: float = 1e-6,
     maxiter: int = 100_000,
-    row_axis: str = "rows",
-    col_axis: str = "cols",
 ):
     """2D (rows x cols) sharded block-Jacobi PCG. Returns (CGResult, ku)
     with x, ku [2, Rp, Cp] sharded over both axes.
@@ -823,6 +826,11 @@ def sharded_stencil_pcg_solve_2d(
     deep convergence on coarsenable grids the 1D row-sharded multigrid
     solve remains the fast path; this one demonstrates/validates the
     2D-torus halo layout."""
+    row_axis, col_axis = problem.axis, problem.col_axis
+    if col_axis is None:
+        raise SolverError(
+            "problem was prepared 1D; use prepare_sharded_stencil_problem_2d"
+        )
     if problem.reduced.dtype == jnp.float32:
         from ..fem.solve import _f32_rtol_floor
         from ..utils.logging import log
@@ -896,8 +904,6 @@ def sharded_stencil_refined_solve_2d(
     problem: ShardedStencilProblem,
     rtol: float = 1e-9,
     maxiter: int = 100_000,
-    row_axis: str = "rows",
-    col_axis: str = "cols",
 ):
     """2D-sharded f64-accurate solve (prepare with dtype=np.float64).
 
@@ -905,6 +911,11 @@ def sharded_stencil_refined_solve_2d(
     preconditioner; psum reductions over both torus axes. The 1D
     row-sharded multigrid refined solve remains the iteration-count
     champion; this closes the accuracy story for the 2D layout."""
+    row_axis, col_axis = problem.axis, problem.col_axis
+    if col_axis is None:
+        raise SolverError(
+            "problem was prepared 1D; use prepare_sharded_stencil_problem_2d"
+        )
     if problem.reduced.dtype != jnp.float64:
         raise SolverError(
             "2D refined solve needs an f64 problem: prepare with "

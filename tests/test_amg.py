@@ -313,9 +313,11 @@ def test_amg_cache_fingerprint_governs_reuse(plate, tmp_path):
     path = str(tmp_path / "case.amg.npz")
     save_amg(path, p1.amg_setup)
 
-    # same mesh again: the cache must be accepted (setup time ~0)
-    p2 = compile_problem(shuffled, bca, MD, opts, amg_setup=load_amg(path))
-    assert p2.timings["amg_setup_s"] < p1.timings["amg_setup_s"] / 5
+    # same mesh again: the cache must be accepted (the loaded setup object
+    # itself becomes the compiled problem's hierarchy -- no rebuild)
+    loaded = load_amg(path)
+    p2 = compile_problem(shuffled, bca, MD, opts, amg_setup=loaded)
+    assert p2.amg_setup is loaded
     assert p1.solve().iterations == p2.solve().iterations
 
     # a DIFFERENT shuffle of the same mesh: renumber converges to the same
@@ -328,6 +330,6 @@ def test_amg_cache_fingerprint_governs_reuse(plate, tmp_path):
         (~bca.u_known).astype(np.float64),
     )  # built on the band-hostile ordering compile_problem renumbers away
     p3 = compile_problem(shuffled, bca, MD, opts, amg_setup=foreign)
-    # rejected -> rebuilt: full setup cost paid again
-    assert p3.timings["amg_setup_s"] > p2.timings["amg_setup_s"] * 5
+    # rejected -> rebuilt: the foreign setup is NOT the one used
+    assert p3.amg_setup is not foreign
     assert p3.solve().iterations == p1.solve().iterations
