@@ -24,8 +24,9 @@ from magnetite_tpu.meshing.generators import rect_mesh, tensile_bcs_for_rect
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from magnetite_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     mesh = rect_mesh(64, 32, width=2.0)
     base = tensile_bcs_for_rect(mesh.coords, pull=0.01)

@@ -30,8 +30,9 @@ from magnetite_tpu.meshing.generators import plate_with_hole_mesh
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from magnetite_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
     nr = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     nt = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 

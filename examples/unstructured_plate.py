@@ -29,8 +29,9 @@ def main():
     import jax
 
     jax.config.update("jax_enable_x64", True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from magnetite_tpu.utils.jaxcache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     from magnetite_tpu.bc import apply_boundary_conditions
     from magnetite_tpu.config import (
