@@ -361,12 +361,12 @@ def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
     )
 
 
-def setup_fingerprint(coords, tris, free, e_mod, nu, t) -> str:
+def setup_fingerprint(coords, tris, free, e_mod, nu, t, cell_factor) -> str:
     """Exact identity of everything a hierarchy build depends on: the full
     mesh bytes (renumbering changes them; a deterministic re-renumber of
-    the same mesh reproduces them), the BC free mask, and the material.
-    sha1 over ~40 MB at 1M elements costs ~0.1 s -- negligible next to the
-    build it validates."""
+    the same mesh reproduces them), the BC free mask, the material, and
+    the aggregation cell factor. sha1 over ~40 MB at 1M elements costs
+    ~0.1 s -- negligible next to the build it validates."""
     import hashlib
 
     h = hashlib.sha1()
@@ -375,8 +375,28 @@ def setup_fingerprint(coords, tris, free, e_mod, nu, t) -> str:
     h.update(np.ascontiguousarray(coords, np.float64).tobytes())
     h.update(np.ascontiguousarray(tris, np.int64).tobytes())
     h.update(np.ascontiguousarray(free, np.float64).tobytes())
-    h.update(np.asarray([e_mod, nu, t], np.float64).tobytes())
+    h.update(np.asarray([e_mod, nu, t, cell_factor], np.float64).tobytes())
     return h.hexdigest()
+
+
+def setup_matches(setup, coords, tris, free, metadata, cell_factor, perm) -> bool:
+    """Is a provided AMGSetup valid for THIS problem (post-renumber mesh,
+    BC mask, material, aggregation size)? Fingerprint-less caches from
+    older saves fall back to a conservative check (no renumbering, same
+    node count). The one validity rule shared by compile_problem and the
+    sharded prepare -- a mismatched-but-SPD hierarchy would silently cost
+    orders of magnitude in iterations."""
+    if setup.fingerprint is not None:
+        return setup.fingerprint == setup_fingerprint(
+            coords,
+            tris,
+            free,
+            metadata.youngs_modulus,
+            metadata.poisson_ratio,
+            metadata.part_thickness,
+            cell_factor,
+        )
+    return perm is None and setup.level_sizes[0][0] == coords.shape[0]
 
 
 @dataclass
@@ -511,7 +531,8 @@ def build_amg_setup(
         level_sizes=level_sizes,
         setup_info=info,
         fingerprint=setup_fingerprint(
-            coords, tris, free, float(e_mod), float(nu), float(t)
+            coords, tris, free, float(e_mod), float(nu), float(t),
+            float(cell_factor),
         ),
     )
 

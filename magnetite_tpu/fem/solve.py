@@ -948,36 +948,27 @@ def compile_problem(
     if preconditioner == "amg":
         from .amg import amg_device_arrays, build_amg_setup
 
-        from .amg import setup_fingerprint
+        from .amg import setup_matches
 
         t0 = time.perf_counter()
         setup = amg_setup
-        if setup is not None:
-            # exact (mesh, ordering) identity check: a hierarchy saved from
-            # a renumbered compile matches the deterministic re-renumber of
-            # the same mesh, while one built on a DIFFERENT ordering (same
-            # node count) is rejected -- a mismatched-but-SPD preconditioner
-            # would silently cost orders of magnitude in iterations. Caches
-            # without a fingerprint fall back to the conservative check.
-            if setup.fingerprint is not None:
-                ok = setup.fingerprint == setup_fingerprint(
-                    mesh.coords,
-                    mesh.tris,
-                    (~bca.u_known).astype(np.float64),
-                    metadata.youngs_modulus,
-                    metadata.poisson_ratio,
-                    metadata.part_thickness,
-                )
-            else:
-                ok = perm is None and setup.level_sizes[0][0] == n
-            if not ok:
-                from ..utils.logging import log
+        if setup is not None and not setup_matches(
+            setup,
+            mesh.coords,
+            mesh.tris,
+            (~bca.u_known).astype(np.float64),
+            metadata,
+            float(options.amg_cell_factor),
+            perm,
+        ):
+            from ..utils.logging import log
 
-                log(
-                    "warning: provided AMG hierarchy does not match this "
-                    "problem's node ordering; rebuilding"
-                )
-                setup = None
+            log(
+                "warning: provided AMG hierarchy does not match this "
+                "problem (mesh ordering, BCs, material, aggregation size, "
+                "or an older cache format); rebuilding"
+            )
+            setup = None
         if setup is None:
             setup = build_amg_setup(
                 mesh.coords,

@@ -269,26 +269,23 @@ def prepare_sharded_dia_problem(
     f[:, :n] = bca.f_value.T
 
     if amg_setup is not None:
-        from ..fem.amg import setup_fingerprint
+        from ..fem.amg import setup_matches
 
-        if amg_setup.fingerprint is not None:
-            ok = amg_setup.fingerprint == setup_fingerprint(
-                mesh.coords,
-                mesh.tris,
-                (~bca.u_known).astype(np.float64),
-                metadata.youngs_modulus,
-                metadata.poisson_ratio,
-                metadata.part_thickness,
-            )
-        else:
-            ok = perm is None and amg_setup.level_sizes[0][0] == n
-        if not ok:
-            # a hierarchy for a different node ordering: rebuild
+        if not setup_matches(
+            amg_setup,
+            mesh.coords,
+            mesh.tris,
+            (~bca.u_known).astype(np.float64),
+            metadata,
+            3.0,  # the default cell factor build_amg_setup uses below
+            perm,
+        ):
             from ..utils.logging import log
 
             log(
                 "warning: provided AMG hierarchy does not match the sharded "
-                "problem's node ordering; rebuilding"
+                "problem (mesh ordering, BCs, material, or an older cache "
+                "format); rebuilding"
             )
             amg_setup = None
     if amg_setup is None:

@@ -28,6 +28,7 @@ from __future__ import annotations
 import math
 from dataclasses import dataclass
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -62,7 +63,7 @@ class ShardedStencilProblem:
     cols: int
     wrap_cols: bool
     # set by the 2D prepare: name of the col mesh axis (None = 1D rows-only)
-    col_axis: str = None
+    col_axis: Optional[str] = None
 
 
 def _pad_grid_rows(a: np.ndarray, rows_pad: int, row_axis: int) -> np.ndarray:

@@ -16,19 +16,32 @@ import tempfile
 _SHARED = os.path.join(tempfile.gettempdir(), "magnetite_tpu_jax_cache")
 
 
+def _user_suffix() -> str:
+    try:
+        return getpass.getuser()
+    except Exception:  # no passwd entry / USER env (container UIDs)
+        return str(os.getuid()) if hasattr(os, "getuid") else "user"
+
+
 def _default_path() -> str:
-    # prefer the established shared dir when this user can write it (keeps
-    # warm caches from tests/bench); otherwise a per-user dir avoids
-    # permission collisions on shared machines
-    if os.path.isdir(_SHARED) and os.access(_SHARED, os.W_OK):
+    # prefer the established shared dir only when THIS user owns it (a
+    # merely-writable dir planted by another user could feed poisoned
+    # compiled executables into the process); otherwise per-user
+    try:
+        owned = os.path.isdir(_SHARED) and os.stat(_SHARED).st_uid == os.getuid()
+    except (OSError, AttributeError):
+        owned = False
+    if owned:
         return _SHARED
-    return f"{_SHARED}_{getpass.getuser()}"
+    return f"{_SHARED}_{_user_suffix()}"
 
 
 def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
     import jax
 
-    path = os.environ.get("MAGNETITE_JAX_CACHE", _default_path())
+    path = os.environ.get("MAGNETITE_JAX_CACHE")
+    if path is None:
+        path = _default_path()
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update(
         "jax_persistent_cache_min_compile_time_secs", float(min_compile_secs)
