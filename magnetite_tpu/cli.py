@@ -94,6 +94,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="log CG iteration/residual every N iterations during the solve",
     )
     parser.add_argument(
+        "--shard",
+        action="store_true",
+        help="run the solve + recovery sharded over every visible device "
+        "(multi-chip pipeline; single-device runs produce identical output)",
+    )
+    parser.add_argument(
         "--save-case",
         default=None,
         help="checkpoint mesh+BCs to this npz after meshing",
@@ -209,12 +215,28 @@ def entry(argv=None) -> None:
             # `structure` is the checkpoint's block-ELL sparsity when
             # resuming; `amg_setup` the checkpoint's AMG hierarchy (both
             # skip their expensive host rebuilds)
-            from .fem.solve import compile_problem
+            if args.shard:
+                from .parallel.pipeline import (
+                    compile_sharded_problem,
+                    default_device_mesh,
+                )
 
-            problem = compile_problem(
-                mesh, bca, sim.metadata, options,
-                structure=structure, amg_setup=amg_setup,
-            )
+                device_mesh = default_device_mesh()
+                log(
+                    f"info: sharding the solve over "
+                    f"{len(jax.devices())} device(s)"
+                )
+                problem = compile_sharded_problem(
+                    mesh, bca, sim.metadata, options,
+                    device_mesh=device_mesh, amg_setup=amg_setup,
+                )
+            else:
+                from .fem.solve import compile_problem
+
+                problem = compile_problem(
+                    mesh, bca, sim.metadata, options,
+                    structure=structure, amg_setup=amg_setup,
+                )
             result = problem.solve()
         if args.save_case and problem.amg_setup is not None:
             from .persist import save_amg

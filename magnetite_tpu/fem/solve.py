@@ -268,7 +268,14 @@ def _run_linear_solve(spec: CoreSpec, op, precond, b, x0, op32=None, precond32=N
         f64 = b.dtype
 
         def precond64(r):
-            return precond32(r.astype(jnp.float32)).astype(f64)
+            # normalize before the f32 cast (mirrors refine.py): extreme
+            # residual magnitudes would otherwise under/overflow the f32
+            # V-cycle input; the preconditioner is linear, so rescaling the
+            # output is exact
+            nrm = jnp.sqrt(jnp.sum(r * r))
+            safe = jnp.where(nrm == 0, 1.0, nrm)
+            z = precond32((r / safe).astype(jnp.float32)).astype(f64)
+            return z * safe
 
         result = pcg(
             op,
@@ -535,6 +542,55 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
     )
 
 
+def _assemble_host(mode: str, params, mesh, cols, slot_ids, metadata):
+    """Host C++ closed-form assembly of the irregular operator formats.
+
+    One pass over elements scatter-adding the four 2x2-block component
+    fields through the precomputed slot ids (the same native kernel the AMG
+    setup uses, with an all-ones mask = unreduced operator). Replaces the
+    compile-time f64 device scatter, whose segment_sum at 1M elements cost
+    ~8.5 s on a tunneled v5e vs ~1 s of host work + a memcpy upload.
+    Returns host arrays matching `_assembly_core`'s outputs, or None when
+    the native library is unavailable.
+    """
+    from ..native import amg_assemble
+
+    n = mesh.num_nodes
+    e_count = mesh.tris.shape[0]
+    if mode == "dia":
+        n_slots = len(params.offsets) * n
+    elif mode == "hybrid":
+        n_slots = len(params.offsets) * n + cols.shape[1]
+    else:
+        n_slots = n * cols.shape[1]
+    slots_pm = (
+        np.asarray(slot_ids, np.int64)
+        .reshape(e_count, 3, 3)
+        .transpose(1, 2, 0)
+        .reshape(-1)
+    )
+    flat = amg_assemble(
+        mesh.coords,
+        mesh.tris,
+        np.ones((n, 2)),
+        metadata.youngs_modulus,
+        metadata.poisson_ratio,
+        metadata.part_thickness,
+        slots_pm,
+        n_slots,
+    )
+    if flat is None:
+        return None
+    if mode == "dia":
+        d = len(params.offsets)
+        return (flat.reshape(d, n, 2, 2).transpose(0, 2, 3, 1),)
+    if mode == "hybrid":
+        d = len(params.offsets)
+        bands = flat[: d * n].reshape(d, n, 2, 2).transpose(0, 2, 3, 1)
+        return bands, flat[d * n :].reshape(-1, 2, 2)
+    return (flat.reshape(n, cols.shape[1], 2, 2),)
+
+
 @lru_cache(maxsize=32)
 def _assembly_core(mode: str, params):
     """Compile-time operator assembly for the irregular formats.
@@ -651,13 +707,26 @@ def solve_system(
     options: SolverOptions = SolverOptions(),
     structure: Optional[EllStructure] = None,
     amg_setup=None,
+    device_mesh=None,
 ) -> SolveResult:
     """Full FEA solve of one mesh + boundary-condition set.
 
     One-shot convenience wrapper around `compile_problem` -- repeated solves
     of the same mesh should hold onto a CompiledProblem instead (device
     arrays stay resident; only the jit call repeats).
+
+    `device_mesh`: a 1D `jax.sharding.Mesh` routes the whole pipeline --
+    solve, force recovery, stress recovery -- through the sharded multi-chip
+    path (parallel/pipeline.py); results are identical to the single-chip
+    path up to solver tolerance.
     """
+    if device_mesh is not None:
+        from ..parallel.pipeline import compile_sharded_problem
+
+        return compile_sharded_problem(
+            mesh, bca, metadata, options,
+            device_mesh=device_mesh, amg_setup=amg_setup,
+        ).solve()
     problem = compile_problem(mesh, bca, metadata, options, structure, amg_setup)
     return problem.solve()
 
@@ -1022,13 +1091,19 @@ def compile_problem(
     timings["upload_s"] = time.perf_counter() - t0
 
     # irregular formats: assemble the operator ONCE at compile time (the
-    # refine path's f64 scatter would otherwise dominate every solve call)
+    # refine path's f64 scatter would otherwise dominate every solve call).
+    # Host C++ closed-form assembly + memcpy upload when available; the
+    # device segment_sum otherwise.
     assembled = ()
     if mode in ("dia", "hybrid", "ell"):
         t0 = time.perf_counter()
-        assembled = _assembly_core(spec.mode, spec.params)(
-            args[0], args[1], args[2], args[3], args[7], args[8], args[9]
-        )
+        host = _assemble_host(mode, params, mesh, cols, slot_ids, metadata)
+        if host is not None:
+            assembled = tuple(jnp.asarray(a, dtype=upload_dtype) for a in host)
+        else:
+            assembled = _assembly_core(spec.mode, spec.params)(
+                args[0], args[1], args[2], args[3], args[7], args[8], args[9]
+            )
         jax.block_until_ready(assembled)
         timings["assemble_s"] = time.perf_counter() - t0
     args = args + (assembled,)

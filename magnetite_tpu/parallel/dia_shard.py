@@ -58,15 +58,28 @@ class ShardedDiaProblem:
 
     device_mesh: Mesh
     axis: str
-    offsets: tuple  # static band offsets
-    halo: int  # max |offset|
-    bands: jax.Array  # [D, 2, 2, Np] node-sharded (solve dtype)
+    offsets: tuple  # static band offsets (empty for kind="ell")
+    halo: int  # max |offset| (kind="ell": max |col - row|)
+    # kind="dia": [D, 2, 2, Np] band values. kind="ell": [Np, W, 2, 2]
+    # block-ELL values (both node-sharded, solve dtype)
+    bands: jax.Array
     free: jax.Array  # [2, Np]
     u_fixed: jax.Array  # [2, Np]
     f: jax.Array  # [2, Np]
     amg: tuple  # device pytree: (p_cols, p_vals) sharded + replicated tail
     n_nodes: int  # un-padded
     perm: Optional[np.ndarray] = None
+    # operator kind: "dia" (static band slices; the fast path) or "ell"
+    # (shard-local gather through halo-extended indices; the fallback for
+    # renumbered meshes whose bandwidth is small but whose DISTINCT
+    # (col - row) offset count exceeds max_diags -- coarse/graded meshes)
+    kind: str = "dia"
+    # kind="ell": [Np, W] indices into the halo-extended local vector
+    ell_lidx: Optional[jax.Array] = None
+    # the host-side AMG hierarchy this problem was prepared with -- expose it
+    # so callers can persist.save_amg it (skips the dominant host setup cost
+    # on re-runs, same contract as fem.solve.CompiledProblem.amg_setup)
+    amg_setup: object = None
 
 
 def _fwd_pairs(n):
@@ -110,11 +123,13 @@ def make_halo_dia_operator(bands_local, offsets: tuple, halo: int, axis: str):
     return op
 
 
-def _jacobi_inverse(bands_local, offsets: tuple, free_local):
-    """Closed-form inverse of the reduced diagonal blocks, [2,2,nl]."""
-    zero_idx = offsets.index(0)
+def _inv_reduced_diag(d0, free_local):
+    """Closed-form inverse of the BC-reduced diagonal blocks.
+
+    d0 [2,2,nl] raw diagonal blocks -> [2,2,nl] inverse of
+    free*d0*free + (1-free)*I."""
     f = free_local
-    d = bands_local[zero_idx] * (f[:, None, :] * f[None, :, :])
+    d = d0 * (f[:, None, :] * f[None, :, :])
     d = d.at[0, 0].add(1.0 - f[0])
     d = d.at[1, 1].add(1.0 - f[1])
     a_, b_ = d[0, 0], d[0, 1]
@@ -122,6 +137,38 @@ def _jacobi_inverse(bands_local, offsets: tuple, free_local):
     det = a_ * e_ - b_ * c_
     det = jnp.where(det == 0, 1.0, det)
     return jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
+
+
+def _jacobi_inverse(bands_local, offsets: tuple, free_local):
+    return _inv_reduced_diag(bands_local[offsets.index(0)], free_local)
+
+
+def make_halo_ell_operator(ell_local, lidx_local, halo: int, axis: str):
+    """Shard-local y = K u for the block-ELL fallback: one halo exchange +
+    a width-W gather through pre-shifted local indices.
+
+    ell_local [nl, W, 2, 2]; lidx_local [nl, W] indexes the halo-extended
+    [2, nl + 2*halo] vector (padding slots point at the row itself and hold
+    zero blocks, so gathers never leave the extended range)."""
+
+    def op(u_local):
+        u_ext = exchange_halo(u_local, halo, axis)  # [2, nl+2h]
+        un = u_ext.T[lidx_local]  # [nl, W, 2]
+        y = jnp.einsum("nwij,nwj->ni", ell_local, un, precision="highest")
+        return y.T
+
+    return op
+
+
+def _ell_diag_t(ell_local, lidx_local, halo: int):
+    """[2,2,nl] raw diagonal blocks of the local ELL rows (the diagonal
+    slot is wherever lidx points at the row's own extended index; padding
+    slots also do but hold zeros, so summing is exact)."""
+    nl = ell_local.shape[0]
+    own = (
+        lidx_local == (jnp.arange(nl, dtype=lidx_local.dtype)[:, None] + halo)
+    ).astype(ell_local.dtype)
+    return jnp.einsum("nk,nkij->ijn", own, ell_local, precision="highest")
 
 
 def _apply_2x2(inv, r):
@@ -207,6 +254,7 @@ def prepare_sharded_dia_problem(
     dtype=np.float32,
     amg_setup=None,
     max_diags: int = 64,
+    cell_factor: float = 3.0,
 ) -> ShardedDiaProblem:
     """Host prep: band structure (+renumber if needed), device assembly,
     AMG hierarchy, node-sharded layout."""
@@ -226,14 +274,35 @@ def prepare_sharded_dia_problem(
             f_value=bca.f_value[perm],
         )
         dia = build_dia_structure(mesh.tris, mesh.num_nodes, max_diags=max_diags)
-        if dia is None:
-            raise SolverError(
-                "mesh stays band-hostile after renumbering; use the "
-                "all-gather ELL path (parallel/sharding.py)"
-            )
-    offsets = tuple(int(o) for o in dia.offsets)
-    halo = max(-min(offsets), max(offsets))
     n = mesh.num_nodes
+    ell_struct = None
+    if dia is not None:
+        kind = "dia"
+        offsets = tuple(int(o) for o in dia.offsets)
+        halo = max(-min(offsets), max(offsets))
+    else:
+        # bandwidth is bounded after renumbering but the DISTINCT offset
+        # count exceeds max_diags (coarse/graded meshes): fall back to a
+        # shard-local block-ELL gather over the same halo exchange
+        from ..fem.assembly import build_ell_structure
+        from ..utils.logging import log
+
+        kind = "ell"
+        offsets = ()
+        ell_struct = build_ell_structure(mesh.tris, n)
+        halo = max(
+            1,
+            int(
+                np.abs(
+                    ell_struct.cols.astype(np.int64)
+                    - np.arange(n, dtype=np.int64)[:, None]
+                ).max()
+            ),
+        )
+        log(
+            "info: mesh has too many distinct band offsets for the DIA "
+            f"operator; sharding with the block-ELL gather (halo {halo})"
+        )
     n_shards = device_mesh.shape[axis]
     np_pad = math.ceil(n / n_shards) * n_shards
     if np_pad // n_shards < halo:
@@ -242,24 +311,80 @@ def prepare_sharded_dia_problem(
             f"{halo}; use fewer shards for this mesh"
         )
 
-    # assemble on device (single jit, replicated), pad on host
-    bands = jax.jit(
-        lambda c, t: assemble_dia_fused(
-            c,
-            t,
-            metadata.youngs_modulus,
-            metadata.poisson_ratio,
-            metadata.part_thickness,
-            jnp.asarray(dia.slot_ids),
-            n,
-            len(offsets),
+    # assemble: host C++ closed-form pass when available (one memcpy, no
+    # device round trip), device jit otherwise; pad on host
+    from ..fem.solve import DiaParams, _assemble_host
+
+    lidx_np = None
+    if kind == "dia":
+        host = _assemble_host(
+            "dia", DiaParams(offsets), mesh, None, dia.slot_ids, metadata
         )
-    )(jnp.asarray(mesh.coords, dtype=np.float64), jnp.asarray(mesh.tris))
-    bands_np = np.zeros((len(offsets), 2, 2, np_pad))
-    bands_np[:, :, :, :n] = np.asarray(bands)
-    zero_idx = offsets.index(0)
-    bands_np[zero_idx, 0, 0, n:] = 1.0
-    bands_np[zero_idx, 1, 1, n:] = 1.0
+        if host is None:
+            host = (
+                np.asarray(
+                    jax.jit(
+                        lambda c, t: assemble_dia_fused(
+                            c,
+                            t,
+                            metadata.youngs_modulus,
+                            metadata.poisson_ratio,
+                            metadata.part_thickness,
+                            jnp.asarray(dia.slot_ids),
+                            n,
+                            len(offsets),
+                        )
+                    )(
+                        jnp.asarray(mesh.coords, dtype=np.float64),
+                        jnp.asarray(mesh.tris),
+                    )
+                ),
+            )
+        bands_np = np.zeros((len(offsets), 2, 2, np_pad))
+        bands_np[:, :, :, :n] = host[0]
+        zero_idx = offsets.index(0)
+        bands_np[zero_idx, 0, 0, n:] = 1.0
+        bands_np[zero_idx, 1, 1, n:] = 1.0
+    else:
+        from ..fem.solve import assemble_ell_arrays_fused
+
+        width = ell_struct.cols.shape[1]
+        host = _assemble_host(
+            "ell", None, mesh, ell_struct.cols, ell_struct.slot_ids, metadata
+        )
+        if host is None:
+            host = (
+                np.asarray(
+                    jax.jit(
+                        lambda c, t: assemble_ell_arrays_fused(
+                            c,
+                            t,
+                            metadata.youngs_modulus,
+                            metadata.poisson_ratio,
+                            metadata.part_thickness,
+                            jnp.asarray(ell_struct.slot_ids),
+                            n,
+                            width,
+                        )
+                    )(
+                        jnp.asarray(mesh.coords, dtype=np.float64),
+                        jnp.asarray(mesh.tris),
+                    )
+                ),
+            )
+        bands_np = np.zeros((np_pad, width, 2, 2))
+        bands_np[:n] = host[0]
+        bands_np[n:, 0, 0, 0] = 1.0  # pad rows: identity blocks on
+        bands_np[n:, 0, 1, 1] = 1.0  # their self-pointing first slot
+        cols_pad = np.tile(
+            np.arange(np_pad, dtype=np.int64)[:, None], (1, width)
+        )
+        cols_pad[:n] = ell_struct.cols
+        local_n = np_pad // n_shards
+        owner = np.arange(np_pad, dtype=np.int64) // local_n
+        lidx_np = (cols_pad - owner[:, None] * local_n + halo).astype(
+            np.int32
+        )
 
     free = np.zeros((2, np_pad))
     free[:, :n] = (~bca.u_known).astype(np.float64).T
@@ -277,7 +402,7 @@ def prepare_sharded_dia_problem(
             mesh.tris,
             (~bca.u_known).astype(np.float64),
             metadata,
-            3.0,  # the default cell factor build_amg_setup uses below
+            float(cell_factor),
             perm,
         ):
             from ..utils.logging import log
@@ -296,6 +421,7 @@ def prepare_sharded_dia_problem(
             metadata.poisson_ratio,
             metadata.part_thickness,
             (~bca.u_known).astype(np.float64),
+            cell_factor=float(cell_factor),
         )
     # first transfer is node-sharded by fine row (pad rows scatter zeros
     # into coarse id 0); the tail of the hierarchy is replicated. Problems
@@ -311,7 +437,10 @@ def prepare_sharded_dia_problem(
         p_cols = np.zeros((np_pad, 1), dtype=np.int32)
         p_vals = np.zeros((np_pad, 1, 2, 3))
 
-    shard_b = NamedSharding(device_mesh, P(None, None, None, axis))
+    shard_b = NamedSharding(
+        device_mesh,
+        P(None, None, None, axis) if kind == "dia" else P(axis, None, None, None),
+    )
     shard_v = NamedSharding(device_mesh, P(None, axis))
     shard_n = NamedSharding(device_mesh, P(axis))
     repl = NamedSharding(device_mesh, P())
@@ -360,6 +489,15 @@ def prepare_sharded_dia_problem(
         amg=amg_local,
         n_nodes=n,
         perm=perm,
+        amg_setup=amg_setup,
+        kind=kind,
+        ell_lidx=(
+            jax.device_put(jnp.asarray(lidx_np), NamedSharding(device_mesh, P(axis, None)))
+            if lidx_np is not None
+            else jax.device_put(
+                jnp.zeros((1, 1), dtype=jnp.int32), repl
+            )
+        ),
     )
 
 
@@ -369,7 +507,9 @@ def _local_dia_solve(
     u_fixed,
     f,
     amg_local,
+    lidx,
     *,
+    kind,
     offsets,
     halo,
     axis,
@@ -377,7 +517,13 @@ def _local_dia_solve(
     maxiter,
 ):
     f32 = jnp.float32
-    raw_mv = make_halo_dia_operator(bands, offsets, halo, axis)
+
+    def make_mv(vals):
+        if kind == "ell":
+            return make_halo_ell_operator(vals, lidx, halo, axis)
+        return make_halo_dia_operator(vals, offsets, halo, axis)
+
+    raw_mv = make_mv(bands)
 
     def reduced(mv, fr):
         def op(v):
@@ -388,9 +534,12 @@ def _local_dia_solve(
     op = reduced(raw_mv, free)
     bands32 = bands.astype(f32)
     free32 = free.astype(f32)
-    mv32 = make_halo_dia_operator(bands32, offsets, halo, axis)
+    mv32 = make_mv(bands32)
     op32 = reduced(mv32, free32)
-    jac32 = _jacobi_inverse(bands32, offsets, free32)
+    if kind == "ell":
+        jac32 = _inv_reduced_diag(_ell_diag_t(bands32, lidx, halo), free32)
+    else:
+        jac32 = _jacobi_inverse(bands32, offsets, free32)
     amg32 = jax.tree.map(
         lambda a: a.astype(f32) if jnp.issubdtype(a.dtype, jnp.floating) else a,
         amg_local,
@@ -406,9 +555,15 @@ def _local_dia_solve(
 
     # the V-cycle always runs f32 (f64 CG + f32 preconditioner is the same
     # scheme as fem/solve's unstructured refine path); casts are no-ops
-    # when the solve dtype is already f32
+    # when the solve dtype is already f32. The GLOBAL residual norm scales
+    # the cast (mirrors refine.py): extreme magnitudes would otherwise
+    # under/overflow the f32 V-cycle input, and the cycle is linear, so
+    # rescaling its output is exact.
     def precond(r):
-        return vcycle32(r.astype(f32)).astype(b.dtype)
+        nrm = jnp.sqrt(dot(r, r))
+        safe = jnp.where(nrm == 0, 1.0, nrm)
+        z = vcycle32((r / safe).astype(f32)).astype(b.dtype)
+        return z * safe
     result = pcg(
         op,
         b,
@@ -448,7 +603,12 @@ def sharded_dia_pcg_solve(
             )
             rtol = floor
     axis = problem.axis
-    spec_b = P(None, None, None, axis)
+    spec_b = (
+        P(None, None, None, axis)
+        if problem.kind == "dia"
+        else P(axis, None, None, None)
+    )
+    spec_lidx = P(axis, None) if problem.kind == "ell" else P(None, None)
     spec_v = P(None, axis)
     amg_spec = (
         (P(axis), P(axis)),
@@ -460,6 +620,7 @@ def sharded_dia_pcg_solve(
         jax.shard_map(
             partial(
                 _local_dia_solve,
+                kind=problem.kind,
                 offsets=problem.offsets,
                 halo=problem.halo,
                 axis=axis,
@@ -467,13 +628,14 @@ def sharded_dia_pcg_solve(
                 maxiter=maxiter,
             ),
             mesh=problem.device_mesh,
-            in_specs=(spec_b, spec_v, spec_v, spec_v, amg_spec),
+            in_specs=(spec_b, spec_v, spec_v, spec_v, amg_spec, spec_lidx),
             out_specs=(spec_v, spec_v, P(), P(), P()),
             check_vma=False,
         )
     )
     x, ku, iters, resnorm, converged = solve(
-        problem.bands, problem.free, problem.u_fixed, problem.f, problem.amg
+        problem.bands, problem.free, problem.u_fixed, problem.f, problem.amg,
+        problem.ell_lidx,
     )
     return (
         CGResult(
