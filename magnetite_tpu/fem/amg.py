@@ -87,8 +87,19 @@ def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
     from .assembly import build_ell_structure
 
     from ..native import amg_assemble as native_assemble
+    from ..native import assemble_coo_blocks as native_assemble_coo
 
     n = coords.shape[0]
+    # fastest path: direct sorted-COO assembly in one C++ pass (no ELL
+    # structure build, no scatter storage)
+    direct = native_assemble_coo(coords, tris, free, e_mod, nu, t, n)
+    if direct is not None:
+        keys, blocks = direct
+        return (
+            (keys // n).astype(np.int64),
+            (keys % n).astype(np.int64),
+            blocks,
+        )
     s = build_ell_structure(tris, n)
     e = tris.shape[0]
     # pair-major slot ids matching the [3,3,E] field layout
@@ -211,14 +222,19 @@ def _coo_matvec(rows, cols, vals, x, n):
 
 
 def _estimate_rho_dinv_a(rows, cols, vals, diag_inv, n, iters=8, seed=0):
-    """rho(D^-1 A) by power iteration (host numpy, like all setup work)."""
+    """rho(D^-1 A) by power iteration (host, native matvec when available)."""
+    from ..native import coo_matvec_blocks
+
     rng = np.random.default_rng(seed)
     m = vals.shape[1]
     x = rng.standard_normal((n, m))
     x /= np.linalg.norm(x)
     rho = 1.0
+    keys = rows * np.int64(n) + cols
     for _ in range(iters):
-        y = _coo_matvec(rows, cols, vals, x, n)
+        y = coo_matvec_blocks(keys, vals, n, x)
+        if y is None:
+            y = _coo_matvec(rows, cols, vals, x, n)
         y = np.matmul(diag_inv, y[..., None])[..., 0]
         norm = np.linalg.norm(y)
         if norm == 0:
@@ -287,7 +303,16 @@ def _tentative_prolongator(agg, n_agg, bmodes):
 
 def _smooth_prolongator(rows, cols, vals, diag_inv, agg, p0_block, n_agg, omega):
     """P = (I - omega D^-1 A) P0 in block-COO keyed (fine row, coarse col)."""
+    from ..native import smooth_prolongator_blocks
+
     n = p0_block.shape[0]
+    native = smooth_prolongator_blocks(
+        rows * np.int64(n) + cols, vals, n, diag_inv, p0_block,
+        agg, n_agg, omega,
+    )
+    if native is not None:
+        k, v = native
+        return (k // n_agg).astype(np.int64), (k % n_agg).astype(np.int64), v
     # - omega * Dinv A P0 term: every A entry (i, j) -> (i, agg[j])
     dinva = np.matmul(diag_inv[rows], vals)  # [nnz, m, m]
     contrib = -omega * np.matmul(dinva, p0_block[cols])
@@ -300,12 +325,30 @@ def _smooth_prolongator(rows, cols, vals, diag_inv, agg, p0_block, n_agg, omega)
     return (k // n_agg).astype(np.int64), (k % n_agg).astype(np.int64), v
 
 
-def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
-    """Galerkin product P^T A P in block-COO, chunked sort+reduce.
+def _rap(
+    arows, acols, avals, prows, pcols, pvals, n_agg, n_rows=None,
+    chunk=2_000_000,
+):
+    """Galerkin product P^T A P in block-COO.
 
     A: [nnz_a] blocks (m x m); P: [nnz_p] blocks (m x mc), rows sorted.
+    Native C++ two-phase SpGEMM when available; chunked numpy sort+reduce
+    otherwise.
     """
-    n = int(arows.max()) + 1 if arows.size else 0
+    from ..native import rap_blocks
+
+    n = (
+        int(n_rows)
+        if n_rows is not None
+        else (int(arows.max()) + 1 if arows.size else 0)
+    )
+    native = rap_blocks(
+        arows * np.int64(n) + acols, avals, n,
+        prows * np.int64(n_agg) + pcols, pvals, n_agg,
+    )
+    if native is not None:
+        ck, cv = native
+        return _rap_filter(ck, cv, n_agg)
     p_ell_cols, p_ell_vals = _coo_to_ell(prows, pcols, pvals, n)
     wp = p_ell_cols.shape[1]
     mc = pvals.shape[2]
@@ -346,12 +389,15 @@ def _rap(arows, acols, avals, prows, pcols, pvals, n_agg, chunk=2_000_000):
         pk.append(k)
         pv.append(v)
     ck, cv = _reduce_block_coo(np.concatenate(pk), np.concatenate(pv))
-    # drop numerically-zero fill (padding products, cancellations): keeps the
-    # coarse ELL width tight
+    return _rap_filter(ck, cv, n_agg)
+
+
+def _rap_filter(ck, cv, n_agg):
+    """Drop numerically-zero fill (padding products, cancellations) to keep
+    the coarse ELL width tight; diagonal blocks always survive."""
     norms = np.abs(cv).reshape(cv.shape[0], -1).max(axis=1)
     cutoff = 1e-14 * (norms.max() if norms.size else 1.0)
     keep = norms > cutoff
-    # always keep diagonal blocks
     keep |= (ck // n_agg) == (ck % n_agg)
     ck, cv = ck[keep], cv[keep]
     return (
@@ -499,7 +545,9 @@ def build_amg_setup(
         )
         transfers.append((p_cols, p_vals, pt_cols, pt_vals))
 
-        rows, cols, vals = _rap(rows, cols, vals, prows, pcols, pvals, n_agg)
+        rows, cols, vals = _rap(
+            rows, cols, vals, prows, pcols, pvals, n_agg, n_rows=n_l
+        )
         a_cols, a_vals = _coo_to_ell(rows, cols, vals, n_agg)
         d_inv = _guarded_inverse(_diag_blocks(rows, cols, vals, n_agg))
         coarse_ops.append((a_cols, a_vals, d_inv))
@@ -516,12 +564,21 @@ def build_amg_setup(
         dense = np.zeros((nl, ml, nl, ml))
         dense[rows, :, cols, :] = vals
         dense = dense.reshape(nl * ml, nl * ml)
-        # tiny diagonal jitter makes the SPSD coarse operator (degenerate
-        # aggregate DOFs have ~zero rows) safely invertible without the
-        # O(n^3) constant of a pinv/SVD
+        # degenerate coarse DOFs (fully-constrained/empty aggregates) have
+        # ~zero rows; invert the ACTIVE submatrix and leave those DOFs at
+        # exactly 0 -- matching _guarded_inverse semantics. (A jittered
+        # full inverse would carry ~1/jitter-scale entries there, which
+        # amplify f32 V-cycle roundoff instead of annihilating it.)
         diag = np.diagonal(dense)
-        jitter = 1e-12 * max(float(diag.max()), 1e-300)
-        coarsest_inv = np.linalg.inv(dense + jitter * np.eye(nl * ml))
+        active = diag > 1e-12 * max(float(diag.max()), 1e-300)
+        coarsest_inv = np.zeros_like(dense)
+        try:
+            coarsest_inv[np.ix_(active, active)] = np.linalg.inv(
+                dense[np.ix_(active, active)]
+            )
+        except np.linalg.LinAlgError:
+            # truly singular active block: fall back to iterative smoothing
+            coarsest_inv = None
 
     info["levels"] = level_sizes
     return AMGSetup(
@@ -564,13 +621,21 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
 
 
 def _block_ell_matvec(a_cols, a_vals, x):
-    """x [n, m] -> [n, m] via gather + block contraction."""
+    """x [n, m] (or lane-batched [n, m, B]) -> same shape, via gather +
+    block contraction. The lane axis stays minormost so the sweep layout
+    ([.., B]) broadcasts through every level of the hierarchy."""
+    if x.ndim == 3:
+        return jnp.einsum(
+            "nwij,nwjb->nib", a_vals, x[a_cols], precision="highest"
+        )
     return jnp.einsum(
         "nwij,nwj->ni", a_vals, x[a_cols], precision="highest"
     )
 
 
 def _apply_blocks(blocks, x):
+    if x.ndim == 3:
+        return jnp.einsum("nij,njb->nib", blocks, x, precision="highest")
     return jnp.einsum("nij,nj->ni", blocks, x, precision="highest")
 
 
@@ -591,16 +656,22 @@ def make_amg_preconditioner(
     amg: pytree from `amg_device_arrays`. op0/jac0: the solver's REDUCED
     level-0 operator and block-Jacobi-inverse apply, in the layout given by
     `layout` ("t" = [2, N] band layout used by DIA/hybrid, "n" = [N, 2]
-    node-major ELL layout). Transfers and coarse levels always run
-    node-major.
+    node-major ELL layout, "tl" = [2, N, B] lane-batched band layout used
+    by design sweeps -- ONE hierarchy preconditions every lane, with the
+    lane axis broadcast minormost through all levels). Transfers and coarse
+    levels always run node-major.
     """
     transfers, coarse, ci = amg
     n_levels = len(transfers) + 1
 
     def to_nodes(r):
+        if layout == "tl":
+            return r.transpose(1, 0, 2)
         return r.T if layout == "t" else r
 
     def from_nodes(r):
+        if layout == "tl":
+            return r.transpose(1, 0, 2)
         return r.T if layout == "t" else r
 
     cycle = make_coarse_cycle(
@@ -616,6 +687,12 @@ def make_amg_preconditioner(
     def apply(r):
         # level 0 on the injected fast operator, in its native layout
         if n_levels == 1:
+            if ci:
+                # single-level hierarchy with a dense inverse (small
+                # problems that never coarsened): exact preconditioner
+                rn = to_nodes(r)
+                flat = rn.reshape(rn.shape[0] * rn.shape[1], -1)
+                return from_nodes((ci[0] @ flat).reshape(rn.shape))
             return omega0 * jac0(r)
         e = omega0 * jac0(r)
         for _ in range(pre_sweeps - 1):
@@ -662,7 +739,8 @@ def make_coarse_cycle(
     def cycle(l, r):
         if l == n_coarse - 1:
             if ci:
-                return (ci[0] @ r.reshape(-1)).reshape(r.shape)
+                flat = r.reshape(r.shape[0] * r.shape[1], -1)
+                return (ci[0] @ flat).reshape(r.shape)
             return smooth(l, jnp.zeros_like(r), r, coarse_sweeps)
         a_cols, a_vals, d_inv = coarse[l]
         e = omega * _apply_blocks(d_inv, r)

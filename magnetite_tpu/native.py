@@ -30,6 +30,28 @@ _lib_lock = threading.Lock()
 _load_failed = False
 
 
+def _so_current() -> bool:
+    """True when the built library exists and is newer than every source."""
+    try:
+        so_mtime = os.path.getmtime(_SO_PATH)
+    except OSError:
+        return False
+    src_dir = os.path.join(_NATIVE_DIR, "src")
+    sources = [os.path.join(_NATIVE_DIR, "Makefile")]
+    try:
+        sources += [
+            os.path.join(src_dir, f)
+            for f in os.listdir(src_dir)
+            if f.endswith((".cpp", ".h"))
+        ]
+    except OSError:
+        return True  # sources absent (trimmed install): use what exists
+    try:
+        return all(so_mtime >= os.path.getmtime(s) for s in sources)
+    except OSError:
+        return False
+
+
 def _try_build(force: bool = False) -> bool:
     cmd = ["make", "-C", _NATIVE_DIR] + (["-B"] if force else [])
     try:
@@ -51,12 +73,14 @@ def load() -> Optional[ctypes.CDLL]:
     with _lib_lock:
         if _lib is not None:
             return _lib
-        # always run make: its dependency rule is a no-op when the .so is
-        # current, and it rebuilds a STALE library left over from an older
-        # source tree (whose missing symbols would otherwise crash the
-        # eager bindings below). Read-only installs fail the build and fall
-        # through to loading whatever exists.
-        _try_build()
+        # run make only when the .so is missing or older than any source:
+        # a current library skips the subprocess entirely (read-only
+        # installs and toolchain-less boxes would otherwise pay a failing
+        # `make` in every interpreter). A stale-but-present library still
+        # rebuilds, and one whose symbols are missing despite a fresh mtime
+        # is caught by the bind failure below.
+        if not _so_current():
+            _try_build()
         if not os.path.exists(_SO_PATH):
             _load_failed = True
             return None
@@ -126,6 +150,28 @@ def _bind(lib) -> None:
     lib.sort_reduce_blocks.restype = i64
     lib.sort_reduce_blocks.argtypes = [
         i64p, f64p, i64, i64, i64p, f64p,
+    ]
+    lib.assemble_coo_blocks.restype = i64
+    lib.assemble_coo_blocks.argtypes = [
+        f64p,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        i64, f64p,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        i64, i64p, f64p,
+    ]
+    lib.coo_matvec_blocks.restype = ctypes.c_int
+    lib.coo_matvec_blocks.argtypes = [
+        i64p, f64p, i64, i64, i64, f64p, f64p,
+    ]
+    lib.smooth_prolongator_blocks.restype = i64
+    lib.smooth_prolongator_blocks.argtypes = [
+        i64p, f64p, i64, i64, i64, f64p, f64p, i64, i64p, i64,
+        ctypes.c_double, i64p, f64p,
+    ]
+    lib.rap_blocks.restype = i64
+    lib.rap_blocks.argtypes = [
+        i64p, f64p, i64, i64, i64, i64p, f64p, i64, i64, i64,
+        i64p, f64p, i64,
     ]
 
 
@@ -238,6 +284,90 @@ def sort_reduce_blocks(keys: np.ndarray, vals: np.ndarray):
         keys, flat, keys.size, flat.shape[1], out_keys, out_vals
     )
     return out_keys[:u].copy(), out_vals[:u].reshape(-1, *shape).copy()
+
+
+def assemble_coo_blocks(coords, tris, free_mask, e_mod, nu, t, n_nodes):
+    """Native direct block-COO stiffness assembly -> (keys [u] sorted,
+    vals [u,2,2]) with keys = row*n + col, or None."""
+    lib = load()
+    if lib is None:
+        return None
+    coords = np.ascontiguousarray(coords, dtype=np.float64)
+    tris = np.ascontiguousarray(tris, dtype=np.int32)
+    free_mask = np.ascontiguousarray(free_mask, dtype=np.float64)
+    total = 9 * tris.shape[0]
+    out_keys = np.empty(max(total, 1), dtype=np.int64)
+    out_vals = np.empty((max(total, 1), 4), dtype=np.float64)
+    u = lib.assemble_coo_blocks(
+        coords, tris, tris.shape[0], free_mask,
+        float(e_mod), float(nu), float(t), int(n_nodes), out_keys, out_vals,
+    )
+    return out_keys[:u].copy(), out_vals[:u].reshape(-1, 2, 2).copy()
+
+
+def coo_matvec_blocks(keys, vals, n, x):
+    """Native block-COO matvec -> y [n, m], or None."""
+    lib = load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.int64)
+    m = vals.shape[1]
+    flat = np.ascontiguousarray(vals.reshape(vals.shape[0], -1), np.float64)
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    y = np.empty((int(n), m), dtype=np.float64)
+    lib.coo_matvec_blocks(keys, flat, keys.size, m, int(n), x, y)
+    return y
+
+
+def smooth_prolongator_blocks(
+    a_keys, a_vals, n, diag_inv, p0, agg, n_agg, omega
+):
+    """Native P = (I - omega Dinv A) P0 -> (keys [u] = i*n_agg + a sorted,
+    vals [u, m, mc]), or None."""
+    lib = load()
+    if lib is None:
+        return None
+    a_keys = np.ascontiguousarray(a_keys, dtype=np.int64)
+    m, mc = p0.shape[1], p0.shape[2]
+    a_flat = np.ascontiguousarray(a_vals.reshape(a_vals.shape[0], -1), np.float64)
+    di_flat = np.ascontiguousarray(diag_inv.reshape(diag_inv.shape[0], -1), np.float64)
+    p0_flat = np.ascontiguousarray(p0.reshape(p0.shape[0], -1), np.float64)
+    agg = np.ascontiguousarray(agg, dtype=np.int64)
+    total = a_keys.size + int(n)
+    out_keys = np.empty(total, dtype=np.int64)
+    out_vals = np.empty((total, m * mc), dtype=np.float64)
+    u = lib.smooth_prolongator_blocks(
+        a_keys, a_flat, a_keys.size, m, int(n), di_flat, p0_flat, mc,
+        agg, int(n_agg), float(omega), out_keys, out_vals,
+    )
+    return out_keys[:u].copy(), out_vals[:u].reshape(-1, m, mc).copy()
+
+
+def rap_blocks(a_keys, a_vals, n, p_keys, p_vals, n_agg):
+    """Native Galerkin C = P^T A P -> (keys [u] = b*n_agg + a sorted,
+    vals [u, mc, mc]), or None."""
+    lib = load()
+    if lib is None:
+        return None
+    a_keys = np.ascontiguousarray(a_keys, dtype=np.int64)
+    p_keys = np.ascontiguousarray(p_keys, dtype=np.int64)
+    m = a_vals.shape[1]
+    mc = p_vals.shape[2]
+    a_flat = np.ascontiguousarray(a_vals.reshape(a_vals.shape[0], -1), np.float64)
+    p_flat = np.ascontiguousarray(p_vals.reshape(p_vals.shape[0], -1), np.float64)
+    cap = 64 * int(n_agg) + 64
+    for _ in range(3):
+        out_keys = np.empty(cap, dtype=np.int64)
+        out_vals = np.empty((cap, mc * mc), dtype=np.float64)
+        u = lib.rap_blocks(
+            a_keys, a_flat, a_keys.size, m, int(n),
+            p_keys, p_flat, p_keys.size, mc, int(n_agg),
+            out_keys, out_vals, cap,
+        )
+        if u >= 0:
+            return out_keys[:u].copy(), out_vals[:u].reshape(-1, mc, mc).copy()
+        cap *= 8  # pathological coarse fill: retry, then numpy fallback
+    return None
 
 
 def dia_structure(tris: np.ndarray, n_nodes: int, max_diags: int):
