@@ -191,6 +191,34 @@ def bench_unstructured_1m(extras):
     extras["unstructured_preconditioner"] = problem.preconditioner
     extras["unstructured_residual_rel"] = resnorm / bnorm
 
+    # the amortized path: checkpoint mesh+AMG (persist.py), then re-compile
+    # from the checkpoint -- what a CLI re-run with --load-case pays
+    import os
+    import tempfile
+
+    from magnetite_tpu.persist import load_amg, load_case, save_amg, save_case
+
+    with tempfile.TemporaryDirectory() as tmp:
+        case = os.path.join(tmp, "case.npz")
+        save_case(case, mesh, bca, metadata=metadata)
+        save_amg(case + ".amg.npz", problem.amg_setup)
+        t0 = time.perf_counter()
+        mesh_r, bca_r, md_r, structure_r = load_case(case)
+        amg_r = load_amg(case + ".amg.npz")
+        problem_r = compile_problem(
+            mesh_r,
+            bca_r,
+            metadata,
+            SolverOptions(dtype="float32", cg_rtol=1e-8, refine="on"),
+            structure=structure_r,
+            amg_setup=amg_r,
+        )
+        extras["unstructured_resumed_prep_s"] = round(
+            time.perf_counter() - t0, 2
+        )
+    t_r, out_r = _time_device_solve(problem_r, repeats=1)
+    extras["unstructured_resumed_solve_s"] = round(t_r, 3)
+
 
 def bench_plate_4m(extras):
     """4M-element structured plate (the README scaling claim, recorded)."""
@@ -406,6 +434,74 @@ def bench_material_sweep(extras):
     extras["material_sweep_rel_residual_max"] = float(rel.max())
 
 
+def bench_unstructured_sweep(extras):
+    """4096-variant load sweep on a DELAUNAY mesh (VERDICT r3 item 3): one
+    shared smoothed-aggregation AMG hierarchy preconditions every lane
+    exactly (V((sK))^-1 = (1/s)V(K)^-1), f64 CG over the f32 V-cycle.
+    Block-Jacobi lanes needed O(1/h) lockstep iterations here; AMG stays
+    mesh-independent."""
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from magnetite_tpu.config import (
+        BoundaryRegion,
+        BoundaryRule,
+        BoundaryTarget,
+        ModelMetadata,
+    )
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from magnetite_tpu.parallel.sweep import compile_unstructured_sweep
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    h = 0.02  # ~12.4k nodes / 24k elements
+    mesh = triangulate([outer, hole], 0.0, h)
+    rules = (
+        BoundaryRule(
+            "left", BoundaryRegion(x_max=1e-6), BoundaryTarget(ux=0.0, uy=0.0)
+        ),
+        BoundaryRule(
+            "right",
+            BoundaryRegion(x_min=3.0 - 1e-6),
+            BoundaryTarget(ux=0.01, fy=0.0),
+        ),
+    )
+    base = apply_boundary_conditions(mesh.coords, rules)
+    md = ModelMetadata(69e9, 0.33, 0.5, 0.0, h)
+    b = 4096
+    right = mesh.coords[:, 0] > 3.0 - 1e-6
+
+    def batch(seed):
+        rng = np.random.default_rng(seed)
+        pulls = rng.uniform(0.005, 0.02, b).astype(np.float32)
+        u_values = np.tile(base.u_value[None], (b, 1, 1)).astype(np.float32)
+        u_values[:, right, 0] = pulls[:, None]
+        f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
+        return u_values, f_values, rng.uniform(0.5, 2.0, b)
+
+    iters = 25
+    t0 = time.perf_counter()
+    compiled = compile_unstructured_sweep(mesh, base, md, iterations=iters)
+    result = compiled.solve(*batch(0))
+    float(np.asarray(result.residual_norm[0]))
+    t_total = time.perf_counter() - t0  # setup + first batch (incl. compile)
+
+    times = []
+    for seed in (1, 2, 3, 4):
+        args = batch(seed)
+        t0 = time.perf_counter()
+        result = compiled.solve(*args)
+        rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
+        times.append(time.perf_counter() - t0)
+    t = float(np.min(times))
+    extras["unstructured_sweep_variants"] = b
+    extras["unstructured_sweep_mesh_nodes"] = mesh.num_nodes
+    extras["unstructured_sweep_mesh_elements"] = mesh.num_elements
+    extras["unstructured_sweep_iterations"] = iters
+    extras["unstructured_sweep_warm_s"] = round(t, 3)
+    extras["unstructured_sweep_solves_per_s"] = round(b / t)
+    extras["unstructured_sweep_first_s"] = round(t_total, 2)
+    extras["unstructured_sweep_rel_residual_max"] = float(rel.max())
+
+
 def main():
     import jax
 
@@ -441,6 +537,7 @@ def main():
     attempt("plate4m", bench_plate_4m, extras)
     attempt("sweep", bench_sweep, extras)
     attempt("material_sweep", bench_material_sweep, extras)
+    attempt("unstructured_sweep", bench_unstructured_sweep, extras)
     # last: a TPU-runtime fault here must not take the other blocks with it
     attempt("unstructured", bench_unstructured_1m, extras)
 

@@ -159,7 +159,11 @@ def pcg_fixed_iterations(
         return (x, r, p, rz_new), None
 
     (x, r, p, rz), _ = jax.lax.scan(step, (x, r, p, rz), None, length=iterations)
-    rnorm = jnp.sqrt(dot(r, r))
+    # TRUE final residual, not the recursion's r (which keeps shrinking
+    # below the working precision's stagnation level and would overstate
+    # convergence by orders of magnitude in f32 sweeps)
+    r_true = b - matvec(x)
+    rnorm = jnp.sqrt(dot(r_true, r_true))
     return CGResult(
         x=x,
         iterations=jnp.int32(iterations),

@@ -621,6 +621,14 @@ def _sweep_vmap(
 # ------------------------------ public API --------------------------------
 
 
+def _amg_sweep_min_nodes() -> int:
+    """Auto-dispatch threshold for AMG lanes, shared with the solver's
+    AMG auto-engage rule (config.SolverOptions.amg_auto_min_nodes)."""
+    from ..config import SolverOptions
+
+    return int(SolverOptions().amg_auto_min_nodes)
+
+
 def sweep_solve(
     mesh: Mesh,
     base_bca: BCArrays,
@@ -668,6 +676,26 @@ def sweep_solve(
         raise ValueError(
             "mesh has no grid_shape; stencil sweep unavailable"
         )
+    if impl == "amg" or (
+        impl == "auto"
+        and mesh.grid_shape is None
+        and mesh.num_nodes >= _amg_sweep_min_nodes()
+    ):
+        # arbitrary meshes at scale: block-Jacobi lockstep iteration counts
+        # grow O(1/h); the shared-AMG lanes stay mesh-independent. In auto
+        # mode the fixed budget is capped (each AMG iteration costs ~5
+        # block-Jacobi ones and ~25 suffice for ~1e-6).
+        amg_iters = (
+            iterations if impl == "amg" else min(int(iterations), 40)
+        )
+        try:
+            compiled = compile_unstructured_sweep(
+                mesh, base_bca, metadata, amg_iters, dtype
+            )
+            return compiled.solve(u_values, f_values, k_scales)
+        except ValueError:
+            if impl == "amg":
+                raise
     if impl in ("auto", "lanes"):
         dia = build_dia_structure(mesh.tris, mesh.num_nodes)
         if dia is not None:
@@ -1022,4 +1050,313 @@ def material_sweep_solve(
     compiled = compile_material_sweep(mesh, base_bca, iterations, dtype)
     return compiled.solve(
         u_values, f_values, e_moduli, poisson_ratios, thicknesses
+    )
+
+
+# --------------- unstructured AMG lanes (shared hierarchy) ------------------
+#
+# Fast sweeps on ARBITRARY meshes (delaunay/gmsh -- the reference's real
+# inputs): band-renumber, assemble DIA bands once, and precondition every
+# lane with ONE smoothed-aggregation AMG hierarchy (fem/amg.py). The
+# variants differ from the base operator only by the per-lane scale s_b
+# (Young's modulus x thickness at fixed Poisson ratio), and the V-cycle is
+# linear, so V((s_b K))^-1 = (1/s_b) V(K)^-1 -- the shared hierarchy is the
+# EXACT AMG preconditioner for each lane. Iteration counts drop from the
+# block-Jacobi lanes' O(1/h) lockstep to the mesh-independent ~15-30.
+
+
+def _dia_amg_lanes_core(
+    bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_fixed, f_applied,
+    k_scales, tris, iterations,
+):
+    """bands: CG-precision DIA bands (f64 under mixed precision -- the
+    kappa*eps_f32 true-residual wall caps pure-f32 force-driven lanes at
+    ~1e-3 relative; f64 CG restores deep convergence). bands_sm: f32 bands
+    for the V-cycle's level-0 smoothing, matching the f32 hierarchy."""
+    from ..fem.amg import make_amg_preconditioner
+
+    cgt = bands.dtype
+    u_fixed = u_fixed.transpose(2, 1, 0).astype(cgt)  # [2, N, B]
+    f_applied = f_applied.transpose(2, 1, 0).astype(cgt)
+    free_b = free.astype(cgt)[:, :, None]
+    free_sm = free.astype(bands_sm.dtype)[:, :, None]
+    k_scales = k_scales.astype(cgt)
+
+    def band_matvec(bk, fb, u):  # UNSCALED K u on [2, N, B] lane fields
+        y0 = jnp.zeros_like(u[0])
+        y1 = jnp.zeros_like(u[1])
+        for d_idx, off in enumerate(offsets):
+            shifted = jnp.roll(u, -off, axis=1) if off != 0 else u
+            b = bk[d_idx][:, :, :, None]  # [2,2,N,1] broadcast over lanes
+            y0 = y0 + b[0, 0] * shifted[0] + b[0, 1] * shifted[1]
+            y1 = y1 + b[1, 0] * shifted[0] + b[1, 1] * shifted[1]
+        return jnp.stack([y0, y1])
+
+    def op_sm(v):  # f32 reduced base operator (the hierarchy's level 0)
+        return free_sm * band_matvec(bands_sm, free_sm, free_sm * v) + (
+            1.0 - free_sm
+        ) * v
+
+    def op(v):  # per-lane CG operator K_b = s_b K
+        return (
+            free_b * (band_matvec(bands, free_b, free_b * v) * k_scales)
+            + (1.0 - free_b) * v
+        )
+
+    # unscaled reduced block-Jacobi inverse (f32): the level-0 smoother
+    zero_idx = offsets.index(0)
+    diag = bands_sm[zero_idx]
+    f0, f1 = free_sm[0, :, 0], free_sm[1, :, 0]
+    outer = free_sm[:, None, :, 0] * free_sm[None, :, :, 0]
+    d = diag * outer
+    d = d.at[0, 0].add(1.0 - f0)
+    d = d.at[1, 1].add(1.0 - f1)
+    a_, b_ = d[0, 0], d[0, 1]
+    c_, e_ = d[1, 0], d[1, 1]
+    det = a_ * e_ - b_ * c_
+    det = jnp.where(det == 0, 1.0, det)
+    inv = jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
+    inv_b = inv[:, :, :, None]
+
+    def jac0(r):
+        p0 = inv_b[0, 0] * r[0] + inv_b[0, 1] * r[1]
+        p1 = inv_b[1, 0] * r[0] + inv_b[1, 1] * r[1]
+        return jnp.stack([p0, p1])
+
+    # one shared f32 V-cycle, un-scaled per lane on the way out (exact:
+    # V((s K))^-1 = (1/s) V(K)^-1 on free DOFs, identity on fixed). Under
+    # mixed precision the residual is normalized per lane before the f32
+    # cast (linearity makes the rescale exact; mirrors fem/solve.py).
+    vcycle = make_amg_preconditioner(amg, op_sm, jac0, layout="tl")
+    inv_scale = free_b / k_scales + (1.0 - free_b)
+
+    def precond(r):
+        nrm = jnp.sqrt(_lane_dot(r, r))  # [B]
+        safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        z = vcycle((r / safe).astype(bands_sm.dtype)).astype(cgt) * safe
+        return z * inv_scale
+
+    rhs = (
+        free_b * (f_applied - band_matvec(bands, free_b, u_fixed) * k_scales)
+        + (1.0 - free_b) * u_fixed
+    )
+    result = pcg_fixed_iterations(
+        op,
+        rhs,
+        preconditioner=precond,
+        x0=u_fixed,
+        iterations=iterations,
+        dot=_lane_dot,
+    )
+    u = result.x  # [2, N, B]
+
+    ue = u[:, tris, :]  # [2, E, 3, B]
+    ue = ue.transpose(1, 2, 0, 3).reshape(tris.shape[0], 6, -1)
+    strain = jnp.einsum("erj,ejb->erb", b_mat, ue, precision="highest")
+    sigma = jnp.einsum("rs,esb->erb", d_mat, strain, precision="highest")
+    vm = (
+        jnp.sqrt(
+            sigma[:, 0] ** 2
+            - sigma[:, 0] * sigma[:, 1]
+            + sigma[:, 1] ** 2
+            + 3.0 * sigma[:, 2] ** 2
+        )
+        * k_scales[None, :]
+    )
+    return (
+        u.transpose(2, 1, 0),  # [B, N, 2]
+        result.residual_norm,  # [B]
+        vm.T,  # [B, E]
+        jnp.sqrt(_lane_dot(rhs, rhs)),  # [B]
+    )
+
+
+@partial(jax.jit, static_argnames=("offsets", "iterations"))
+def _dia_amg_lanes_jit(bands, bands_sm, offsets, amg, d_mat, b_mat, free,
+                       u_fixed, f_applied, k_scales, tris, iterations):
+    return _dia_amg_lanes_core(
+        bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_fixed,
+        f_applied, k_scales, tris, iterations,
+    )
+
+
+@dataclass
+class CompiledUnstructuredSweep:
+    """An arbitrary mesh compiled for repeated AMG-preconditioned sweeps.
+
+    Setup (band renumbering, DIA assembly, the AMG hierarchy build) runs
+    once; `solve(u_values, f_values, k_scales)` pays only the lane-batched
+    PCG. `amg_setup` is the host hierarchy (persistable via
+    persist.save_amg and reusable by compile_problem on the same mesh)."""
+
+    bands: jax.Array  # CG-precision (f64 when refined)
+    bands_sm: jax.Array  # f32 smoothing bands (same array when pure-f32)
+    offsets: tuple
+    amg: tuple
+    d_mat: jax.Array
+    b_mat: jax.Array
+    free: jax.Array  # [2, N]
+    tris: jax.Array  # renumbered
+    perm: object  # perm[new] = old, or None
+    iterations: int
+    dtype: object
+    amg_setup: object
+    n_nodes: int
+
+    def solve(self, u_values, f_values, k_scales) -> SweepResult:
+        u_values = np.asarray(u_values)
+        f_values = np.asarray(f_values)
+        if self.perm is not None:
+            u_values = u_values[:, self.perm, :]
+            f_values = f_values[:, self.perm, :]
+        u, res, vm, rhs_norm = _dia_amg_lanes_jit(
+            self.bands,
+            self.bands_sm,
+            self.offsets,
+            self.amg,
+            self.d_mat,
+            self.b_mat,
+            self.free,
+            jnp.asarray(u_values, dtype=self.dtype),
+            jnp.asarray(f_values, dtype=self.dtype),
+            jnp.asarray(k_scales, dtype=self.dtype),
+            self.tris,
+            self.iterations,
+        )
+        if self.perm is not None:
+            u_out = np.empty_like(np.asarray(u))
+            u_out[:, self.perm, :] = np.asarray(u)
+            u = u_out
+        return SweepResult(
+            u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
+        )
+
+
+def compile_unstructured_sweep(
+    mesh: Mesh,
+    base_bca: BCArrays,
+    metadata: ModelMetadata,
+    iterations: int = 30,
+    dtype=np.float32,
+    amg_setup=None,
+    cell_factor: float = 3.0,
+    max_diags: int = 96,
+    refined=None,
+) -> CompiledUnstructuredSweep:
+    """Compile an arbitrary (delaunay/gmsh) mesh for AMG-lane sweeps.
+
+    Band-renumbers band-hostile meshes (meshing/reorder.py), assembles the
+    DIA operator once, and builds (or validates a provided) AMG hierarchy.
+    Raises ValueError when the mesh stays band-hostile after renumbering --
+    callers fall back to sweep_solve's vmap path.
+
+    `refined` (default: auto = on when jax_enable_x64 and dtype is f32):
+    f64 CG over f64 bands with the f32 V-cycle preconditioner -- pure-f32
+    lanes hit the kappa*eps_f32 true-residual wall (~1e-3 relative on
+    force-driven cases); mixed precision restores ~1e-7 at roughly 2x the
+    band-matvec bandwidth.
+    """
+    from ..fem.amg import amg_device_arrays, build_amg_setup, setup_matches
+    from ..meshing.reorder import renumber as _renumber
+
+    n = mesh.num_nodes
+    perm = None
+    bca = base_bca
+    dia = build_dia_structure(mesh.tris, n, max_diags=max_diags)
+    if dia is None:
+        mesh_r, perm_r, _stats = _renumber(mesh)
+        dia = build_dia_structure(mesh_r.tris, n, max_diags=max_diags)
+        if dia is None:
+            raise ValueError(
+                "mesh is band-hostile even after renumbering; use "
+                "sweep_solve's vmap path"
+            )
+        mesh, perm = mesh_r, perm_r
+        bca = BCArrays(
+            u_known=base_bca.u_known[perm],
+            u_value=base_bca.u_value[perm],
+            f_value=base_bca.f_value[perm],
+        )
+
+    free_np = (~bca.u_known).astype(np.float64)
+    if amg_setup is None or not setup_matches(
+        amg_setup, mesh.coords, mesh.tris, free_np, metadata, cell_factor,
+        perm,
+    ):
+        amg_setup = build_amg_setup(
+            mesh.coords,
+            mesh.tris,
+            metadata.youngs_modulus,
+            metadata.poisson_ratio,
+            metadata.part_thickness,
+            free_np,
+            cell_factor=cell_factor,
+        )
+    if refined is None:
+        refined = bool(jax.config.jax_enable_x64) and dtype == np.float32
+    sm_dtype = np.float32 if dtype == np.float32 else dtype
+    cg_dtype = np.float64 if refined else dtype
+    amg = amg_device_arrays(amg_setup, sm_dtype)
+    if not amg_setup.transfers:
+        # the mesh is too small to coarsen (n*2 <= the dense-coarse
+        # threshold): the V-cycle would degenerate to block-Jacobi. Build
+        # the EXACT dense inverse of the reduced operator instead -- one
+        # [2N, 2N] MXU matmul per application, CG converges in ~2 sweeps.
+        from ..fem.amg import _assemble_block_coo
+
+        ar, ac, av = _assemble_block_coo(
+            mesh.coords,
+            mesh.tris,
+            float(metadata.youngs_modulus),
+            float(metadata.poisson_ratio),
+            float(metadata.part_thickness),
+            free_np,
+        )
+        dense = np.zeros((n, 2, n, 2))
+        np.add.at(dense, (ar, slice(None), ac, slice(None)), av)
+        dense = dense.reshape(2 * n, 2 * n)
+        fixed = (1.0 - free_np).reshape(-1)
+        dense[np.arange(2 * n), np.arange(2 * n)] += fixed
+        amg = ((), (), (jnp.asarray(np.linalg.inv(dense), dtype=sm_dtype),))
+
+    from ..fem.element import (
+        element_areas,
+        gather_element_coords,
+        strain_displacement_matrices,
+        stress_strain_matrix,
+    )
+
+    coords = jnp.asarray(mesh.coords, dtype=cg_dtype)
+    tris = jnp.asarray(mesh.tris)
+    ke = element_stiffness_matrices(
+        coords,
+        tris,
+        metadata.youngs_modulus,
+        metadata.poisson_ratio,
+        metadata.part_thickness,
+    )
+    bands = assemble_dia(ke, dia.slot_ids, n, dia.n_diags)
+    bands_sm = bands.astype(sm_dtype) if cg_dtype != sm_dtype else bands
+    ecoords = gather_element_coords(coords, tris).astype(sm_dtype)
+    areas = element_areas(ecoords)
+    b_mat = strain_displacement_matrices(ecoords, areas)
+    d_mat = stress_strain_matrix(
+        metadata.youngs_modulus, metadata.poisson_ratio, dtype=sm_dtype
+    )
+    free = jnp.asarray((~bca.u_known).T.astype(sm_dtype))
+
+    return CompiledUnstructuredSweep(
+        bands=jax.block_until_ready(bands),
+        bands_sm=bands_sm,
+        offsets=tuple(int(o) for o in dia.offsets),
+        amg=amg,
+        d_mat=d_mat,
+        b_mat=b_mat,
+        free=free,
+        tris=tris,
+        perm=perm,
+        iterations=int(iterations),
+        dtype=dtype,
+        amg_setup=amg_setup,
+        n_nodes=n,
     )
