@@ -405,8 +405,9 @@ def _build_coarse_levels(problem: ShardedStencilProblem) -> tuple:
     from ..fem.multigrid import build_hierarchy
 
     rows, cols = problem.rows, problem.cols
-    reduced_full = np.asarray(problem.reduced)[:, :, :, :rows, :]
-    free_full = np.asarray(problem.free_g)[:, :rows, :]
+    # slice off row AND col padding (the 2D prepare pads unwrapped cols)
+    reduced_full = np.asarray(problem.reduced)[:, :, :, :rows, :cols]
+    free_full = np.asarray(problem.free_g)[:, :rows, :cols]
     levels = build_hierarchy(
         jnp.asarray(reduced_full), jnp.asarray(free_full), problem.wrap_cols
     )
@@ -702,24 +703,134 @@ def make_halo_stencil_operator_2d(
     row_axis: str,
     col_axis: str,
     wrap_cols: bool,
+    impl: str = "auto",
 ):
     """2D-sharded op(u) = K u: one 8-neighbor halo exchange + the local
     stencil on the extended block (zero-padded local stencil, never
-    wrapping -- periodicity lives entirely in the exchange)."""
+    wrapping -- periodicity lives entirely in the exchange).
+
+    The col-extended width cl+2 is never a lane multiple, so the Pallas
+    band kernel pads the extended block's cols up to one: the stencil pad
+    is free (pre-tiled once with zero blocks), the field pays one zero-col
+    concat per matvec -- noise next to the ~3.8x HBM-roofline win over the
+    XLA roll formulation. impl: "auto" (Pallas on TPU when applicable),
+    "xla", "pallas_interpret" (CPU parity tests).
+    """
     from ..fem.stencil import make_stencil_operator
 
     rl, cl = st_local.shape[-2], st_local.shape[-1]
     st_ext = jnp.pad(st_local, ((0, 0),) * 3 + ((1, 1), (1, 1)))
-    # XLA formulation: the col-extended width cl+2 is never a lane multiple,
-    # so the Pallas kernel does not apply here (1D row sharding keeps it)
-    local_op = make_stencil_operator(st_ext, wrap_cols=False, impl="xla")
+    ext_cols = cl + 2
+    lane_pad = (-ext_cols) % 128
+    use_pallas = impl == "pallas_interpret"
+    if impl == "auto" and jax.default_backend() == "tpu":
+        from ..pallas.stencil_kernel import pallas_applicable
+
+        use_pallas = pallas_applicable(
+            rl + 2, ext_cols + lane_pad, st_ext.dtype
+        )
+    if use_pallas:
+        from ..pallas.stencil_kernel import make_pallas_stencil_operator
+
+        st_k = jnp.pad(st_ext, ((0, 0),) * 3 + ((0, 0), (0, lane_pad)))
+        kernel_op = make_pallas_stencil_operator(
+            st_k, False, interpret=(impl == "pallas_interpret")
+        )
+
+        def apply_local(u_ext):
+            u_k = jnp.pad(u_ext, ((0, 0), (0, 0), (0, lane_pad)))
+            return kernel_op(u_k)[:, :, :ext_cols]
+
+    else:
+        apply_local = make_stencil_operator(
+            st_ext, wrap_cols=False, impl="xla"
+        )
 
     def op(u_local):
         u_ext = exchange_halo_2d(u_local, row_axis, col_axis, wrap_cols)
-        y_ext = local_op(u_ext)
+        y_ext = apply_local(u_ext)
         return jax.lax.slice(y_ext, (0, 1, 1), (2, 1 + rl, 1 + cl))
 
     return op
+
+
+def _sharded_mg_preconditioner_2d(
+    reduced_local,
+    diag_inv_local,
+    coarse_levels: tuple,  # ((stencil, diag_inv), ...) replicated
+    *,
+    row_axis: str,
+    col_axis: str,
+    wrap: bool,
+    rows: int,  # true (un-padded) grid dims
+    cols: int,
+    sweeps: int = 2,
+    omega: float = 0.7,
+    impl: str = "auto",
+):
+    """2D-torus V-cycle: SHARDED fine smoothing + REPLICATED coarse solve.
+
+    The 1D row-sharded layout's machinery (``_sharded_mg_preconditioner``)
+    carried to both torus axes: fine-level smoothing runs shard-local over
+    the 8-neighbor halo operator, and the coarse-grid correction gathers the
+    fine residual over BOTH device axes (two tiled all_gathers -- each rides
+    its own ICI dimension) and solves redundantly on every chip. Iteration
+    counts match the 1D multigrid path; only the halo/gather pattern
+    differs."""
+    from ..fem.multigrid import (
+        MGLevel,
+        prolong,
+        restrict,
+        vcycle_preconditioner,
+    )
+    from ..fem.stencil import make_stencil_operator
+
+    levels = [
+        MGLevel(
+            stencil=st,
+            diag_inv=di,
+            rows=st.shape[-2],
+            cols=st.shape[-1],
+            op=make_stencil_operator(st, wrap),
+        )
+        for st, di in coarse_levels
+    ]
+    coarse_cycle = vcycle_preconditioner(levels, wrap) if levels else None
+    fine_op = make_halo_stencil_operator_2d(
+        reduced_local, row_axis, col_axis, wrap, impl
+    )
+
+    def smooth(e, r):
+        for _ in range(sweeps):
+            res = r - fine_op(e)
+            e = e + omega * _apply_dinv(diag_inv_local, res)
+        return e
+
+    def apply(r):
+        rl, cl = r.shape[-2], r.shape[-1]
+        e = smooth(jnp.zeros_like(r), r)
+        if coarse_cycle is None:
+            return e
+        res = r - fine_op(e)
+        # gather the fine residual over both torus axes; the coarse
+        # correction is replicated (redundant-coarse-solve layout)
+        res_full = jax.lax.all_gather(res, row_axis, axis=1, tiled=True)
+        res_full = jax.lax.all_gather(res_full, col_axis, axis=2, tiled=True)
+        ec = coarse_cycle(restrict(res_full[:, :rows, :cols], wrap))
+        e_full = prolong(ec, wrap)  # [2, rows, cols]
+        rows_pad, cols_pad = res_full.shape[1], res_full.shape[2]
+        e_full = jnp.pad(
+            e_full, ((0, 0), (0, rows_pad - rows), (0, cols_pad - cols))
+        )
+        i = jax.lax.axis_index(row_axis)
+        j = jax.lax.axis_index(col_axis)
+        zero = jnp.zeros((), dtype=i.dtype)
+        e = e + jax.lax.dynamic_slice(
+            e_full, (zero, i * rl, j * cl), (2, rl, cl)
+        )
+        return smooth(e, r)
+
+    return apply
 
 
 def prepare_sharded_stencil_problem_2d(
@@ -792,14 +903,27 @@ def prepare_sharded_stencil_problem_2d(
 
 
 def _local_pcg_2d(
-    reduced, raw, free_g, u_fixed_g, f_g, diag_inv,
-    *, row_axis, col_axis, wrap, rtol, maxiter,
+    reduced, raw, free_g, u_fixed_g, f_g, diag_inv, coarse_levels,
+    *, row_axis, col_axis, wrap, rows, cols, rtol, maxiter, preconditioner,
+    impl="auto",
 ):
-    raw_mv = make_halo_stencil_operator_2d(raw, row_axis, col_axis, wrap)
-    op = make_halo_stencil_operator_2d(reduced, row_axis, col_axis, wrap)
+    raw_mv = make_halo_stencil_operator_2d(
+        raw, row_axis, col_axis, wrap, impl
+    )
+    op = make_halo_stencil_operator_2d(
+        reduced, row_axis, col_axis, wrap, impl
+    )
 
-    def precond(r):
-        return _apply_dinv(diag_inv, r)
+    if preconditioner == "multigrid":
+        precond = _sharded_mg_preconditioner_2d(
+            reduced, diag_inv, coarse_levels,
+            row_axis=row_axis, col_axis=col_axis, wrap=wrap,
+            rows=rows, cols=cols, impl=impl,
+        )
+    else:
+
+        def precond(r):
+            return _apply_dinv(diag_inv, r)
 
     def dot(a, b):
         return jax.lax.psum(jnp.sum(a * b), (row_axis, col_axis))
@@ -819,14 +943,20 @@ def sharded_stencil_pcg_solve_2d(
     problem: ShardedStencilProblem,
     rtol: float = 1e-6,
     maxiter: int = 100_000,
+    preconditioner: str = "auto",
+    impl: str = "auto",
 ):
-    """2D (rows x cols) sharded block-Jacobi PCG. Returns (CGResult, ku)
-    with x, ku [2, Rp, Cp] sharded over both axes.
+    """2D (rows x cols) sharded PCG. Returns (CGResult, ku) with x, ku
+    [2, Rp, Cp] sharded over both axes.
 
-    Use `prepare_sharded_stencil_problem_2d` for the problem layout. For
-    deep convergence on coarsenable grids the 1D row-sharded multigrid
-    solve remains the fast path; this one demonstrates/validates the
-    2D-torus halo layout."""
+    Use `prepare_sharded_stencil_problem_2d` for the problem layout.
+    preconditioner "auto" = multigrid when the grid can coarsen (sharded
+    fine smoothing + both-axis-gathered replicated coarse V-cycle,
+    iteration counts matching the 1D path), else block-Jacobi. The
+    shard-local operator auto-dispatches to the Pallas band kernel on TPU
+    (lane-padded extended block)."""
+    from ..fem.multigrid import can_coarsen
+
     row_axis, col_axis = problem.axis, problem.col_axis
     if col_axis is None:
         raise SolverError(
@@ -843,9 +973,21 @@ def sharded_stencil_pcg_solve_2d(
                 f" clamping to {floor:.1e}"
             )
             rtol = floor
+    if preconditioner == "auto":
+        preconditioner = (
+            "multigrid"
+            if can_coarsen(problem.rows, problem.cols, problem.wrap_cols)
+            else "block_jacobi"
+        )
+    coarse_levels = (
+        _build_coarse_levels(problem)
+        if preconditioner == "multigrid"
+        else ()
+    )
     spec5 = P(None, None, None, row_axis, col_axis)
     spec4 = P(None, None, row_axis, col_axis)
     spec3 = P(None, row_axis, col_axis)
+    coarse_specs = tuple((P(), P()) for _ in coarse_levels)
     solve = jax.jit(
         jax.shard_map(
             partial(
@@ -853,18 +995,24 @@ def sharded_stencil_pcg_solve_2d(
                 row_axis=row_axis,
                 col_axis=col_axis,
                 wrap=problem.wrap_cols,
+                rows=problem.rows,
+                cols=problem.cols,
                 rtol=rtol,
                 maxiter=maxiter,
+                preconditioner=preconditioner,
+                impl=impl,
             ),
             mesh=problem.device_mesh,
-            in_specs=(spec5, spec5, spec3, spec3, spec3, spec4),
+            in_specs=(
+                spec5, spec5, spec3, spec3, spec3, spec4, coarse_specs,
+            ),
             out_specs=(spec3, spec3, P(), P(), P()),
             check_vma=False,
         )
     )
     x, ku, iters, resnorm, converged = solve(
         problem.reduced, problem.raw, problem.free_g,
-        problem.u_fixed_g, problem.f_g, problem.diag_inv,
+        problem.u_fixed_g, problem.f_g, problem.diag_inv, coarse_levels,
     )
     return (
         CGResult(
@@ -875,17 +1023,39 @@ def sharded_stencil_pcg_solve_2d(
 
 
 def _local_refined_2d(
-    reduced64, raw64, free_g, u_fixed_g, f_g, diag_inv64,
-    *, row_axis, col_axis, wrap, rtol, maxiter,
+    reduced64, raw64, free_g, u_fixed_g, f_g, diag_inv64, coarse_levels,
+    *, row_axis, col_axis, wrap, rows, cols, rtol, maxiter, preconditioner,
+    impl="auto",
 ):
-    """2D-sharded f64 CG with the f32 block-Jacobi preconditioner."""
+    """2D-sharded f64 CG with an f32 preconditioner (multigrid when the
+    grid coarsens, block-Jacobi otherwise)."""
     f32 = jnp.float32
-    raw_mv = make_halo_stencil_operator_2d(raw64, row_axis, col_axis, wrap)
-    op = make_halo_stencil_operator_2d(reduced64, row_axis, col_axis, wrap)
+    # f64 operators take the XLA roll path (the Pallas kernel is f32-only)
+    raw_mv = make_halo_stencil_operator_2d(
+        raw64, row_axis, col_axis, wrap, "xla"
+    )
+    op = make_halo_stencil_operator_2d(
+        reduced64, row_axis, col_axis, wrap, "xla"
+    )
     diag_inv32 = diag_inv64.astype(f32)
 
-    def precond(r):
-        return _apply_dinv(diag_inv32, r.astype(f32)).astype(r.dtype)
+    if preconditioner == "multigrid":
+        coarse32 = tuple(
+            (st.astype(f32), di.astype(f32)) for st, di in coarse_levels
+        )
+        mg32 = _sharded_mg_preconditioner_2d(
+            reduced64.astype(f32), diag_inv32, coarse32,
+            row_axis=row_axis, col_axis=col_axis, wrap=wrap,
+            rows=rows, cols=cols, impl=impl,
+        )
+
+        def precond(r):
+            return mg32(r.astype(f32)).astype(r.dtype)
+
+    else:
+
+        def precond(r):
+            return _apply_dinv(diag_inv32, r.astype(f32)).astype(r.dtype)
 
     def dot(a, b):
         return jax.lax.psum(jnp.sum(a * b), (row_axis, col_axis))
@@ -905,13 +1075,17 @@ def sharded_stencil_refined_solve_2d(
     problem: ShardedStencilProblem,
     rtol: float = 1e-9,
     maxiter: int = 100_000,
+    preconditioner: str = "auto",
+    impl: str = "auto",
 ):
     """2D-sharded f64-accurate solve (prepare with dtype=np.float64).
 
-    f64 CG over the 2D halo operator with an f32 block-Jacobi
-    preconditioner; psum reductions over both torus axes. The 1D
-    row-sharded multigrid refined solve remains the iteration-count
-    champion; this closes the accuracy story for the 2D layout."""
+    f64 CG over the 2D halo operator with an f32 preconditioner (sharded
+    multigrid when the grid coarsens -- iteration counts matching the 1D
+    refined path -- block-Jacobi otherwise); psum reductions over both
+    torus axes."""
+    from ..fem.multigrid import can_coarsen
+
     row_axis, col_axis = problem.axis, problem.col_axis
     if col_axis is None:
         raise SolverError(
@@ -922,9 +1096,21 @@ def sharded_stencil_refined_solve_2d(
             "2D refined solve needs an f64 problem: prepare with "
             "dtype=np.float64 (and jax_enable_x64)"
         )
+    if preconditioner == "auto":
+        preconditioner = (
+            "multigrid"
+            if can_coarsen(problem.rows, problem.cols, problem.wrap_cols)
+            else "block_jacobi"
+        )
+    coarse_levels = (
+        _build_coarse_levels(problem)
+        if preconditioner == "multigrid"
+        else ()
+    )
     spec5 = P(None, None, None, row_axis, col_axis)
     spec4 = P(None, None, row_axis, col_axis)
     spec3 = P(None, row_axis, col_axis)
+    coarse_specs = tuple((P(), P()) for _ in coarse_levels)
     solve = jax.jit(
         jax.shard_map(
             partial(
@@ -932,18 +1118,24 @@ def sharded_stencil_refined_solve_2d(
                 row_axis=row_axis,
                 col_axis=col_axis,
                 wrap=problem.wrap_cols,
+                rows=problem.rows,
+                cols=problem.cols,
                 rtol=rtol,
                 maxiter=maxiter,
+                preconditioner=preconditioner,
+                impl=impl,
             ),
             mesh=problem.device_mesh,
-            in_specs=(spec5, spec5, spec3, spec3, spec3, spec4),
+            in_specs=(
+                spec5, spec5, spec3, spec3, spec3, spec4, coarse_specs,
+            ),
             out_specs=(spec3, spec3, P(), P(), P()),
             check_vma=False,
         )
     )
     x, ku, iters, resnorm, converged = solve(
         problem.reduced, problem.raw, problem.free_g,
-        problem.u_fixed_g, problem.f_g, problem.diag_inv,
+        problem.u_fixed_g, problem.f_g, problem.diag_inv, coarse_levels,
     )
     return (
         CGResult(

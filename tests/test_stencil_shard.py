@@ -331,3 +331,120 @@ def test_2d_refined_solve_reaches_deep_tolerance(metadata, device_mesh_2d):
     np.testing.assert_allclose(
         u_sharded, reference.u, atol=1e-9 * np.abs(reference.u).max()
     )
+
+
+def test_2d_sharded_multigrid_matches_and_holds_iterations(
+    metadata, device_mesh_2d
+):
+    """VERDICT r3 item 4: the 2D torus layout gets the 1D path's multigrid
+    -- sharded fine smoothing over the 8-neighbor halo operator, coarse
+    correction gathered over BOTH device axes and solved replicated.
+    Iteration count must sit in the multigrid regime (block-Jacobi needs
+    hundreds here), solution must match the single-device solver."""
+    from magnetite_tpu.parallel.stencil_shard import (
+        prepare_sharded_stencil_problem_2d,
+        sharded_stencil_pcg_solve_2d,
+    )
+
+    mesh = rect_mesh(32, 32, width=2.0)  # 33x33: coarsenable both axes
+    bca = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    problem = prepare_sharded_stencil_problem_2d(
+        mesh, bca, metadata, device_mesh_2d, dtype=np.float64
+    )
+    result, _ = sharded_stencil_pcg_solve_2d(
+        problem, rtol=1e-10, preconditioner="multigrid"
+    )
+    assert bool(result.converged)
+    assert int(result.iterations) < 60
+
+    rows, cols = mesh.grid_shape
+    u_sharded = np.asarray(result.x)[:, :rows, :cols].reshape(2, -1).T
+    reference = solve_system(mesh, bca, metadata, SolverOptions(cg_rtol=1e-12))
+    scale = np.abs(reference.u).max()
+    np.testing.assert_allclose(
+        u_sharded, reference.u, rtol=1e-7, atol=1e-8 * scale
+    )
+
+
+def test_2d_refined_multigrid_reaches_deep_tolerance(metadata, device_mesh_2d):
+    """2D refined solve with the f32 sharded-MG preconditioner: 1e-10
+    relative residual at multigrid iteration counts."""
+    from magnetite_tpu.parallel.stencil_shard import (
+        prepare_sharded_stencil_problem_2d,
+        sharded_stencil_refined_solve_2d,
+    )
+
+    mesh = rect_mesh(32, 32, width=2.0)
+    bca = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    problem = prepare_sharded_stencil_problem_2d(
+        mesh, bca, metadata, device_mesh_2d, dtype=np.float64
+    )
+    result, _ = sharded_stencil_refined_solve_2d(
+        problem, rtol=1e-10, preconditioner="multigrid"
+    )
+    assert bool(result.converged)
+    assert int(result.iterations) < 80
+    rows, cols = mesh.grid_shape
+    u_sharded = np.asarray(result.x)[:, :rows, :cols].reshape(2, -1).T
+    reference = solve_system(mesh, bca, metadata, SolverOptions(cg_rtol=1e-12))
+    scale = np.abs(reference.u).max()
+    np.testing.assert_allclose(
+        u_sharded, reference.u, rtol=1e-7, atol=1e-8 * scale
+    )
+
+
+def test_2d_halo_operator_pallas_interpret_parity(metadata, device_mesh_2d):
+    """The 2D shard-local Pallas path (lane-padded extended block) must
+    match the XLA roll formulation exactly -- interpreter mode stands in
+    for the TPU kernel on the CPU mesh."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from magnetite_tpu.parallel.stencil_shard import (
+        make_halo_stencil_operator_2d,
+        prepare_sharded_stencil_problem_2d,
+    )
+
+    mesh = rect_mesh(127, 23)  # 128 rows over 2 shards, 24 cols over 4
+    bca = tensile_bcs_for_rect(mesh.coords)
+    problem = prepare_sharded_stencil_problem_2d(
+        mesh, bca, metadata, device_mesh_2d, dtype=np.float32
+    )
+    rows, cols = mesh.grid_shape
+    rows_pad = problem.free_g.shape[1]
+    cols_pad = problem.free_g.shape[2]
+
+    rng = np.random.default_rng(1)
+    v = np.zeros((2, rows_pad, cols_pad), dtype=np.float32)
+    v[:, :rows, :cols] = rng.standard_normal((2, rows, cols)).astype(
+        np.float32
+    )
+    v_d = jax.device_put(
+        v, NamedSharding(device_mesh_2d, P(None, "rows", "cols"))
+    )
+
+    def local_mv(st, u, impl):
+        return make_halo_stencil_operator_2d(
+            st, "rows", "cols", mesh.wrap_cols, impl
+        )(u)
+
+    def run(impl):
+        mv = jax.jit(
+            jax.shard_map(
+                partial(local_mv, impl=impl),
+                mesh=device_mesh_2d,
+                in_specs=(
+                    P(None, None, None, "rows", "cols"),
+                    P(None, "rows", "cols"),
+                ),
+                out_specs=P(None, "rows", "cols"),
+                check_vma=False,
+            )
+        )
+        return np.asarray(mv(problem.reduced, v_d))
+
+    got = run("pallas_interpret")
+    want = run("xla")
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got, want, atol=1e-6 * scale)
