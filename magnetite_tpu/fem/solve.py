@@ -542,17 +542,12 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
     )
 
 
-def _assemble_host(mode: str, params, mesh, cols, slot_ids, metadata):
-    """Host C++ closed-form assembly of the irregular operator formats.
+def _assemble_host_flat(mode: str, params, mesh, cols, slot_ids, metadata):
+    """Host C++ closed-form assembly, slot-major flat [S, 4] (or None).
 
     One pass over elements scatter-adding the four 2x2-block component
     fields through the precomputed slot ids (the same native kernel the AMG
-    setup uses, with an all-ones mask = unreduced operator). Replaces the
-    compile-time f64 device scatter, whose segment_sum at 1M elements cost
-    ~8.5 s on a tunneled v5e vs ~1 s of host work + a memcpy upload.
-    Returns host arrays matching `_assembly_core`'s outputs, or None when
-    the native library is unavailable.
-    """
+    setup uses, with an all-ones mask = unreduced operator)."""
     from ..native import amg_assemble
 
     n = mesh.num_nodes
@@ -569,7 +564,7 @@ def _assemble_host(mode: str, params, mesh, cols, slot_ids, metadata):
         .transpose(1, 2, 0)
         .reshape(-1)
     )
-    flat = amg_assemble(
+    return amg_assemble(
         mesh.coords,
         mesh.tris,
         np.ones((n, 2)),
@@ -579,8 +574,18 @@ def _assemble_host(mode: str, params, mesh, cols, slot_ids, metadata):
         slots_pm,
         n_slots,
     )
+
+
+def _assemble_host(mode: str, params, mesh, cols, slot_ids, metadata):
+    """Host C++ assembly in the operator's band-major HOST layout.
+
+    Pays a strided host transpose for dia/hybrid (the sharded prepare needs
+    host arrays to pad + lay out); the single-chip compile path uses
+    `_assemble_host_device` instead, which keeps the relayout on device."""
+    flat = _assemble_host_flat(mode, params, mesh, cols, slot_ids, metadata)
     if flat is None:
         return None
+    n = mesh.num_nodes
     if mode == "dia":
         d = len(params.offsets)
         return (flat.reshape(d, n, 2, 2).transpose(0, 2, 3, 1),)
@@ -589,6 +594,47 @@ def _assemble_host(mode: str, params, mesh, cols, slot_ids, metadata):
         bands = flat[: d * n].reshape(d, n, 2, 2).transpose(0, 2, 3, 1)
         return bands, flat[d * n :].reshape(-1, 2, 2)
     return (flat.reshape(n, cols.shape[1], 2, 2),)
+
+
+def _assemble_host_device(
+    mode: str, params, mesh, cols, slot_ids, metadata, upload_dtype
+):
+    """C++ assembly uploaded flat + relaid out on DEVICE.
+
+    The slot-major [S, 4] result uploads contiguously (converted to the
+    upload dtype on host first -- halves the tunnel bytes for f32) and the
+    band-major relayout runs as a device transpose: the host-side
+    `.transpose(0, 2, 3, 1)` copy of ~650 MB measured 7-15 s on a 1-core
+    box (strided doubles, cache-hostile) vs milliseconds on device.
+    Returns device arrays matching `_assembly_core`'s outputs, or None
+    when the native library is unavailable.
+    """
+    flat = _assemble_host_flat(mode, params, mesh, cols, slot_ids, metadata)
+    if flat is None:
+        return None
+    n = mesh.num_nodes
+    if flat.dtype != upload_dtype:
+        flat = flat.astype(upload_dtype)
+    flat_d = jnp.asarray(flat)
+
+    if mode == "dia":
+        d = len(params.offsets)
+        bands = jax.jit(
+            lambda f: f.reshape(d, n, 2, 2).transpose(0, 2, 3, 1)
+        )(flat_d)
+        return (bands,)
+    if mode == "hybrid":
+        d = len(params.offsets)
+        bands, rem = jax.jit(
+            lambda f: (
+                f[: d * n * 4]
+                .reshape(d, n, 2, 2)
+                .transpose(0, 2, 3, 1),
+                f[d * n * 4 :].reshape(-1, 2, 2),
+            )
+        )(flat_d.reshape(-1))
+        return bands, rem
+    return (flat_d.reshape(n, cols.shape[1], 2, 2),)
 
 
 @lru_cache(maxsize=32)
@@ -1097,9 +1143,11 @@ def compile_problem(
     assembled = ()
     if mode in ("dia", "hybrid", "ell"):
         t0 = time.perf_counter()
-        host = _assemble_host(mode, params, mesh, cols, slot_ids, metadata)
+        host = _assemble_host_device(
+            mode, params, mesh, cols, slot_ids, metadata, upload_dtype
+        )
         if host is not None:
-            assembled = tuple(jnp.asarray(a, dtype=upload_dtype) for a in host)
+            assembled = host
         else:
             assembled = _assembly_core(spec.mode, spec.params)(
                 args[0], args[1], args[2], args[3], args[7], args[8], args[9]

@@ -72,6 +72,44 @@ def _lane_dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b, axis=(0, 1))
 
 
+def _chunked_lane_vm(u, tris, b_mat, sigma_fn, chunk: int = 512):
+    """Per-lane von Mises WITHOUT materializing the full [E, 6, B] gather.
+
+    u [2, N, B]; sigma_fn(strain [C, 3, B]) -> (s0, s1, s2) per-lane
+    stress components. lax.map over element chunks bounds the transient at
+    [C, 6, B] (~50-100 MB) -- the one-shot einsum at 24k elements x 4096
+    lanes allocated a ~12 GB intermediate and OOMed a 16 GB v5e."""
+    e_count = tris.shape[0]
+    pad = (-e_count) % chunk
+    if pad:
+        tris = jnp.concatenate(
+            [tris, jnp.zeros((pad, 3), dtype=tris.dtype)]
+        )
+        b_mat = jnp.concatenate(
+            [b_mat, jnp.zeros((pad,) + b_mat.shape[1:], dtype=b_mat.dtype)]
+        )
+    g = tris.shape[0] // chunk
+
+    def body(args):
+        t_c, b_c = args
+        ue = u[:, t_c, :]  # [2, C, 3, B]
+        ue = ue.transpose(1, 2, 0, 3).reshape(chunk, 6, -1)
+        strain = jnp.einsum(
+            "erj,ejb->erb", b_c.astype(u.dtype), ue, precision="highest"
+        )
+        s0, s1, s2 = sigma_fn(strain)
+        return jnp.sqrt(s0 * s0 - s0 * s1 + s1 * s1 + 3.0 * s2 * s2)
+
+    vm = jax.lax.map(
+        body,
+        (
+            tris.reshape(g, chunk, 3),
+            b_mat.reshape((g, chunk) + b_mat.shape[1:]),
+        ),
+    )
+    return vm.reshape(g * chunk, -1)[:e_count]
+
+
 def _lanes_core(
     bands,
     offsets: tuple,
@@ -142,20 +180,15 @@ def _lanes_core(
     )
     u = result.x  # [2, N, B]
 
-    # stress per lane: sigma = s_b * D B u_b
-    ue = u[:, tris, :]  # [2, E, 3, B]
-    ue = ue.transpose(1, 2, 0, 3).reshape(tris.shape[0], 6, -1)  # [E, 6, B]
-    strain = jnp.einsum("erj,ejb->erb", b_mat, ue, precision="highest")  # [E, 3, B]
-    sigma = jnp.einsum("rs,esb->erb", d_mat, strain, precision="highest")  # [E, 3, B]
-    vm = (
-        jnp.sqrt(
-            sigma[:, 0] ** 2
-            - sigma[:, 0] * sigma[:, 1]
-            + sigma[:, 1] ** 2
-            + 3.0 * sigma[:, 2] ** 2
-        )
-        * k_scales[None, :]
-    )  # [E, B]
+    # stress per lane: sigma = s_b * D B u_b (chunked -- the one-shot
+    # [E, 6, B] gather OOMs at sweep scale)
+    ks = k_scales[None, :]
+
+    def sigma_fn(strain):
+        sig = jnp.einsum("rs,esb->erb", d_mat, strain, precision="highest")
+        return sig[:, 0] * ks, sig[:, 1] * ks, sig[:, 2] * ks
+
+    vm = _chunked_lane_vm(u, tris, b_mat, sigma_fn)
     return (
         u.transpose(2, 1, 0),  # [B, N, 2]
         result.residual_norm,  # [B]
@@ -1150,19 +1183,14 @@ def _dia_amg_lanes_core(
     )
     u = result.x  # [2, N, B]
 
-    ue = u[:, tris, :]  # [2, E, 3, B]
-    ue = ue.transpose(1, 2, 0, 3).reshape(tris.shape[0], 6, -1)
-    strain = jnp.einsum("erj,ejb->erb", b_mat, ue, precision="highest")
-    sigma = jnp.einsum("rs,esb->erb", d_mat, strain, precision="highest")
-    vm = (
-        jnp.sqrt(
-            sigma[:, 0] ** 2
-            - sigma[:, 0] * sigma[:, 1]
-            + sigma[:, 1] ** 2
-            + 3.0 * sigma[:, 2] ** 2
-        )
-        * k_scales[None, :]
-    )
+    dm = d_mat.astype(cgt)
+    ks = k_scales[None, :]
+
+    def sigma_fn(strain):  # [C, 3, B] -> per-lane stress components
+        sig = jnp.einsum("rs,esb->erb", dm, strain, precision="highest")
+        return sig[:, 0] * ks, sig[:, 1] * ks, sig[:, 2] * ks
+
+    vm = _chunked_lane_vm(u, tris, b_mat, sigma_fn)
     return (
         u.transpose(2, 1, 0),  # [B, N, 2]
         result.residual_norm,  # [B]
@@ -1358,5 +1386,406 @@ def compile_unstructured_sweep(
         iterations=int(iterations),
         dtype=dtype,
         amg_setup=amg_setup,
+        n_nodes=n,
+    )
+
+
+# ----------- unstructured TRUE material sweeps (basis AMG lanes) ------------
+#
+# (E, nu, t) per lane on ARBITRARY meshes: three basis DIA band sets span
+# every material (K(w) = wa*Ka + wb*Kb + wc*Kc, see fem/amg.py's material
+# hierarchy), transfers are shared, and every level's operator/diagonal is
+# combined per lane on the fly -- each lane is preconditioned by the EXACT
+# V-cycle of ITS OWN operator. Per-lane diagonal inverses are closed-form
+# (2x2 Cramer at level 0, 3x3 cofactors below) over [.., B] lane fields;
+# XLA fuses the cofactor arithmetic into the smoother's FMA chain.
+
+
+def _basis_element_stiffness(coords, tris, dcoef):
+    """ke [E,6,6] for one unit D-basis (d0,d1,d2) = dcoef, t = 1."""
+    from ..fem.element import (
+        element_areas,
+        gather_element_coords,
+        strain_displacement_matrices,
+    )
+
+    ecoords = gather_element_coords(coords, tris)
+    areas = element_areas(ecoords)
+    b = strain_displacement_matrices(ecoords, areas)  # [E,3,6]
+    d = jnp.asarray(
+        [
+            [dcoef[0], dcoef[1], 0.0],
+            [dcoef[1], dcoef[0], 0.0],
+            [0.0, 0.0, dcoef[2]],
+        ],
+        dtype=coords.dtype,
+    )
+    db = jnp.einsum("rs,esj->erj", d, b, precision="highest")
+    ke = jnp.einsum("eri,erj->eij", b, db, precision="highest")
+    return ke * areas[:, None, None]
+
+
+def _lane_weighted_band_matvec(bands3, offsets, wa, wb, wc, u):
+    """y = (wa*Ka + wb*Kb + wc*Kc) u on [2, N, B] lane fields.
+
+    bands3 [3, D, 2, 2, N]; one roll per offset feeds all three bases (the
+    basis combination happens in the per-offset block coefficients, so the
+    memory traffic stays one band-set's worth of u reads)."""
+    y0 = jnp.zeros_like(u[0])
+    y1 = jnp.zeros_like(u[1])
+    for d_idx, off in enumerate(offsets):
+        shifted = jnp.roll(u, -off, axis=1) if off != 0 else u
+        # [2, 2, N, B] per-lane block: basis blocks combined by lane weights
+        b3 = bands3[:, d_idx]  # [3, 2, 2, N]
+        b = (
+            b3[0][:, :, :, None] * wa
+            + b3[1][:, :, :, None] * wb
+            + b3[2][:, :, :, None] * wc
+        )
+        y0 = y0 + b[0, 0] * shifted[0] + b[0, 1] * shifted[1]
+        y1 = y1 + b[1, 0] * shifted[0] + b[1, 1] * shifted[1]
+    return jnp.stack([y0, y1])
+
+
+def _lane_inv2_apply(d, r):
+    """Per-lane 2x2 solve: d [2,2,N,B], r [2,N,B] -> d^-1 r (guarded)."""
+    a_, b_ = d[0, 0], d[0, 1]
+    c_, e_ = d[1, 0], d[1, 1]
+    det = a_ * e_ - b_ * c_
+    det = jnp.where(det == 0, jnp.ones_like(det), det)
+    x0 = (e_ * r[0] - b_ * r[1]) / det
+    x1 = (-c_ * r[0] + a_ * r[1]) / det
+    return jnp.stack([x0, x1])
+
+
+def _lane_inv3_apply(d, r):
+    """Per-lane guarded 3x3 solve: d [n,3,3,B], r [n,3,B] -> d^-1 r.
+
+    Closed-form adjugate (inverse = cof^T / det); rows whose det is tiny
+    relative to the block scale solve to 0 (degenerate aggregates), the
+    _guarded_inverse semantics carried per lane."""
+    c00 = d[:, 1, 1] * d[:, 2, 2] - d[:, 1, 2] * d[:, 2, 1]
+    c01 = d[:, 1, 2] * d[:, 2, 0] - d[:, 1, 0] * d[:, 2, 2]
+    c02 = d[:, 1, 0] * d[:, 2, 1] - d[:, 1, 1] * d[:, 2, 0]
+    c10 = d[:, 0, 2] * d[:, 2, 1] - d[:, 0, 1] * d[:, 2, 2]
+    c11 = d[:, 0, 0] * d[:, 2, 2] - d[:, 0, 2] * d[:, 2, 0]
+    c12 = d[:, 0, 1] * d[:, 2, 0] - d[:, 0, 0] * d[:, 2, 1]
+    c20 = d[:, 0, 1] * d[:, 1, 2] - d[:, 0, 2] * d[:, 1, 1]
+    c21 = d[:, 0, 2] * d[:, 1, 0] - d[:, 0, 0] * d[:, 1, 2]
+    c22 = d[:, 0, 0] * d[:, 1, 1] - d[:, 0, 1] * d[:, 1, 0]
+    det = d[:, 0, 0] * c00 + d[:, 0, 1] * c01 + d[:, 0, 2] * c02
+    scale = jnp.max(jnp.abs(d), axis=(1, 2))
+    bad = jnp.abs(det) <= 1e-12 * jnp.maximum(scale, 1e-30) ** 3
+    safe = jnp.where(bad, jnp.ones_like(det), det)
+    x0 = (c00 * r[:, 0] + c01 * r[:, 1] + c02 * r[:, 2]) / safe
+    x1 = (c10 * r[:, 0] + c11 * r[:, 1] + c12 * r[:, 2]) / safe
+    x2 = (c20 * r[:, 0] + c21 * r[:, 1] + c22 * r[:, 2]) / safe
+    zero = jnp.zeros_like(x0)
+    x0 = jnp.where(bad, zero, x0)
+    x1 = jnp.where(bad, zero, x1)
+    x2 = jnp.where(bad, zero, x2)
+    return jnp.stack([x0, x1, x2], axis=1)
+
+
+def _material_amg_vcycle(
+    mamg, op0, jac0, wa, wb, wc, *, omega0=0.7, omega=0.7, coarse_sweeps=24
+):
+    """V(1,1)-cycle over the basis hierarchy, exact per lane.
+
+    mamg: pytree from fem.amg.material_amg_device_arrays. op0/jac0: the
+    lane-weighted level-0 operator and diag-inverse apply in the [2, N, B]
+    band layout. wa/wb/wc [B] in the hierarchy's dtype."""
+    from ..fem.amg import _block_ell_matvec
+
+    transfers, coarse = mamg
+    n_coarse = len(coarse)
+
+    def mv(l, x):  # x [n, m, B]
+        a_cols, av3, _ = coarse[l]
+        xg = x[a_cols]  # [n, w, m, B] -- ONE gather feeds all three bases
+        ya = jnp.einsum("nwij,nwjb->nib", av3[0], xg, precision="highest")
+        yb = jnp.einsum("nwij,nwjb->nib", av3[1], xg, precision="highest")
+        yc = jnp.einsum("nwij,nwjb->nib", av3[2], xg, precision="highest")
+        return ya * wa + yb * wb + yc * wc
+
+    def dinv(l, r):  # r [n, 3, B]
+        _, _, d3 = coarse[l]
+        d = (
+            d3[0][:, :, :, None] * wa
+            + d3[1][:, :, :, None] * wb
+            + d3[2][:, :, :, None] * wc
+        )
+        return _lane_inv3_apply(d, r)
+
+    def cycle(l, r):
+        if l == n_coarse - 1:
+            e = jnp.zeros_like(r)
+            for _ in range(coarse_sweeps):
+                e = e + omega * dinv(l, r - mv(l, e))
+            return e
+        e = omega * dinv(l, r)
+        res = r - mv(l, e)
+        tp_cols, tp_vals, tpt_cols, tpt_vals = transfers[l + 1]
+        rc = _block_ell_matvec(tpt_cols, tpt_vals, res)
+        ec = cycle(l + 1, rc)
+        e = e + _block_ell_matvec(tp_cols, tp_vals, ec)
+        return e + omega * dinv(l, r - mv(l, e))
+
+    def apply(r):  # r [2, N, B]
+        e = omega0 * jac0(r)
+        if not transfers:
+            return e
+        res = (r - op0(e)).transpose(1, 0, 2)  # [N, 2, B]
+        p_cols, p_vals, pt_cols, pt_vals = transfers[0]
+        rc = _block_ell_matvec(pt_cols, pt_vals, res)
+        ec = cycle(0, rc)
+        e = e + _block_ell_matvec(p_cols, p_vals, ec).transpose(1, 0, 2)
+        return e + omega0 * jac0(r - op0(e))
+
+    return apply
+
+
+def _material_dia_amg_lanes_core(
+    bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
+    e_mods, nus, ts, tris, iterations,
+):
+    cgt = bands3.dtype
+    smt = bands3_sm.dtype
+    u_fixed = u_fixed.transpose(2, 1, 0).astype(cgt)  # [2, N, B]
+    f_applied = f_applied.transpose(2, 1, 0).astype(cgt)
+    free_b = free.astype(cgt)[:, :, None]
+    free_sm = free.astype(smt)[:, :, None]
+    wa, wb, wc = material_weights(
+        e_mods.astype(cgt), nus.astype(cgt), ts.astype(cgt)
+    )
+    wa32, wb32, wc32 = (w.astype(smt) for w in (wa, wb, wc))
+
+    def op(v):
+        y = _lane_weighted_band_matvec(bands3, offsets, wa, wb, wc, free_b * v)
+        return free_b * y + (1.0 - free_b) * v
+
+    def op_sm(v):
+        y = _lane_weighted_band_matvec(
+            bands3_sm, offsets, wa32, wb32, wc32, free_sm * v
+        )
+        return free_sm * y + (1.0 - free_sm) * v
+
+    # level-0 per-lane reduced diag inverse (f32): basis diagonals combined
+    # by lane weights, BC-reduced, 2x2 Cramer per (node, lane)
+    zero_idx = offsets.index(0)
+    d3 = bands3_sm[:, zero_idx]  # [3, 2, 2, N]
+    outer = (free_sm[:, None, :, 0] * free_sm[None, :, :, 0])[
+        :, :, :, None
+    ]  # [2,2,N,1]
+    dd = (
+        d3[0][:, :, :, None] * wa32
+        + d3[1][:, :, :, None] * wb32
+        + d3[2][:, :, :, None] * wc32
+    ) * outer
+    fixed0 = (1.0 - free_sm[0])[None]
+    fixed1 = (1.0 - free_sm[1])[None]
+    dd = dd.at[0, 0].add(fixed0[0])
+    dd = dd.at[1, 1].add(fixed1[0])
+
+    def jac0(r):
+        return _lane_inv2_apply(dd, r)
+
+    vcycle = _material_amg_vcycle(mamg, op_sm, jac0, wa32, wb32, wc32)
+
+    def precond(r):
+        nrm = jnp.sqrt(_lane_dot(r, r))  # [B]
+        safe = jnp.where(nrm == 0, jnp.ones_like(nrm), nrm)
+        return vcycle((r / safe).astype(smt)).astype(cgt) * safe
+
+    rhs = (
+        free_b
+        * (
+            f_applied
+            - _lane_weighted_band_matvec(bands3, offsets, wa, wb, wc, u_fixed)
+        )
+        + (1.0 - free_b) * u_fixed
+    )
+    result = pcg_fixed_iterations(
+        op,
+        rhs,
+        preconditioner=precond,
+        x0=u_fixed,
+        iterations=iterations,
+        dot=_lane_dot,
+    )
+    u = result.x  # [2, N, B]
+
+    # per-lane stress: sigma = D(E_b, nu_b) B u_b (thickness cancels)
+    sa = wa / ts.astype(cgt)  # d0 per lane
+    sb = wb / ts.astype(cgt)
+    sc = wc / ts.astype(cgt)
+
+    def sigma_fn(strain):  # [C, 3, B]
+        s0 = sa * strain[:, 0] + sb * strain[:, 1]
+        s1 = sb * strain[:, 0] + sa * strain[:, 1]
+        s2 = sc * strain[:, 2]
+        return s0, s1, s2
+
+    vm = _chunked_lane_vm(u, tris, b_mat, sigma_fn)
+    return (
+        u.transpose(2, 1, 0),
+        result.residual_norm,
+        vm.T,
+        jnp.sqrt(_lane_dot(rhs, rhs)),
+    )
+
+
+@partial(jax.jit, static_argnames=("offsets", "iterations"))
+def _material_dia_amg_lanes_jit(
+    bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
+    e_mods, nus, ts, tris, iterations,
+):
+    return _material_dia_amg_lanes_core(
+        bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
+        e_mods, nus, ts, tris, iterations,
+    )
+
+
+@dataclass
+class CompiledUnstructuredMaterialSweep:
+    """An arbitrary mesh compiled for (E, nu, t)-per-lane sweeps."""
+
+    bands3: jax.Array  # [3, D, 2, 2, N] CG precision
+    bands3_sm: jax.Array  # f32 smoothing copy (same array when pure f32)
+    offsets: tuple
+    mamg: tuple
+    b_mat: jax.Array
+    free: jax.Array
+    tris: jax.Array
+    perm: object
+    iterations: int
+    dtype: object
+    material_setup: object
+    n_nodes: int
+
+    def solve(
+        self, u_values, f_values, e_moduli, poisson_ratios, thicknesses
+    ) -> SweepResult:
+        u_values = np.asarray(u_values)
+        f_values = np.asarray(f_values)
+        if self.perm is not None:
+            u_values = u_values[:, self.perm, :]
+            f_values = f_values[:, self.perm, :]
+        u, res, vm, rhs_norm = _material_dia_amg_lanes_jit(
+            self.bands3,
+            self.bands3_sm,
+            self.offsets,
+            self.mamg,
+            self.b_mat,
+            self.free,
+            jnp.asarray(u_values, dtype=self.dtype),
+            jnp.asarray(f_values, dtype=self.dtype),
+            jnp.asarray(e_moduli, dtype=self.dtype),
+            jnp.asarray(poisson_ratios, dtype=self.dtype),
+            jnp.asarray(thicknesses, dtype=self.dtype),
+            self.tris,
+            self.iterations,
+        )
+        if self.perm is not None:
+            u_out = np.empty_like(np.asarray(u))
+            u_out[:, self.perm, :] = np.asarray(u)
+            u = u_out
+        return SweepResult(
+            u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
+        )
+
+
+def compile_unstructured_material_sweep(
+    mesh: Mesh,
+    base_bca: BCArrays,
+    iterations: int = 35,
+    dtype=np.float32,
+    nu_ref: float = 0.3,
+    cell_factor: float = 3.0,
+    max_diags: int = 96,
+    refined=None,
+) -> CompiledUnstructuredMaterialSweep:
+    """Compile an arbitrary mesh for TRUE material sweeps.
+
+    Three basis DIA band sets + the basis AMG hierarchy
+    (fem/amg.build_amg_material_setup) give every lane the exact V-cycle
+    of its own (E, nu, t) operator; transfers are built once at `nu_ref`.
+    Band-hostile meshes renumber first; raises ValueError when the mesh
+    stays band-hostile (fall back to per-variant solve_system)."""
+    from ..fem.amg import (
+        _UNIT_DCOEFS,
+        build_amg_material_setup,
+        material_amg_device_arrays,
+    )
+    from ..meshing.reorder import renumber as _renumber
+
+    n = mesh.num_nodes
+    perm = None
+    bca = base_bca
+    dia = build_dia_structure(mesh.tris, n, max_diags=max_diags)
+    if dia is None:
+        mesh_r, perm_r, _stats = _renumber(mesh)
+        dia = build_dia_structure(mesh_r.tris, n, max_diags=max_diags)
+        if dia is None:
+            raise ValueError(
+                "mesh is band-hostile even after renumbering; use "
+                "per-variant solve_system"
+            )
+        mesh, perm = mesh_r, perm_r
+        bca = BCArrays(
+            u_known=base_bca.u_known[perm],
+            u_value=base_bca.u_value[perm],
+            f_value=base_bca.f_value[perm],
+        )
+
+    if refined is None:
+        refined = bool(jax.config.jax_enable_x64) and dtype == np.float32
+    sm_dtype = np.float32 if dtype == np.float32 else dtype
+    cg_dtype = np.float64 if refined else dtype
+
+    free_np = (~bca.u_known).astype(np.float64)
+    material_setup = build_amg_material_setup(
+        mesh.coords, mesh.tris, free_np, nu_ref=nu_ref,
+        cell_factor=cell_factor,
+    )
+    mamg = material_amg_device_arrays(material_setup, sm_dtype)
+
+    from ..fem.element import (
+        element_areas,
+        gather_element_coords,
+        strain_displacement_matrices,
+    )
+
+    coords = jnp.asarray(mesh.coords, dtype=cg_dtype)
+    tris = jnp.asarray(mesh.tris)
+    bands3 = jnp.stack(
+        [
+            assemble_dia(
+                _basis_element_stiffness(coords, tris, dc),
+                dia.slot_ids,
+                n,
+                dia.n_diags,
+            )
+            for dc in _UNIT_DCOEFS
+        ]
+    )
+    bands3_sm = bands3.astype(sm_dtype) if cg_dtype != sm_dtype else bands3
+    ecoords = gather_element_coords(coords, tris).astype(sm_dtype)
+    areas = element_areas(ecoords)
+    b_mat = strain_displacement_matrices(ecoords, areas)
+    free = jnp.asarray((~bca.u_known).T.astype(sm_dtype))
+
+    return CompiledUnstructuredMaterialSweep(
+        bands3=jax.block_until_ready(bands3),
+        bands3_sm=bands3_sm,
+        offsets=tuple(int(o) for o in dia.offsets),
+        mamg=mamg,
+        b_mat=b_mat,
+        free=free,
+        tris=tris,
+        perm=perm,
+        iterations=int(iterations),
+        dtype=dtype,
+        material_setup=material_setup,
         n_nodes=n,
     )
