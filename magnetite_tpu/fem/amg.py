@@ -76,14 +76,18 @@ def _reduce_block_coo(keys, vals):
     return uniq, out.reshape(-1, *vals.shape[1:])
 
 
-def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
+def _assemble_block_coo(coords, tris, e_mod, nu, t, free, dcoefs=None):
     """BC-masked global stiffness in block-COO, rows sorted.
 
     Rides the solver's ELL structure builder (native C++ when available) and
     bincount scatter instead of a 9E-entry argsort. ELL padding slots emit
     zero blocks at (n, n) -- duplicate diagonal keys with zero values, which
     every consumer (matvecs, RAP products, diag extraction via add.at)
-    treats additively. free: [N,2] float mask (1 = unknown DOF)."""
+    treats additively. free: [N,2] float mask (1 = unknown DOF).
+
+    `dcoefs`: explicit (d0, d1, d2) plane-stress D coefficients overriding
+    the (e_mod, nu) closed form -- the material-sweep basis assemblies pass
+    unit vectors here (numpy path only; basis assemblies are small)."""
     from .assembly import build_ell_structure
 
     from ..native import amg_assemble as native_assemble
@@ -92,7 +96,11 @@ def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
     n = coords.shape[0]
     # fastest path: direct sorted-COO assembly in one C++ pass (no ELL
     # structure build, no scatter storage)
-    direct = native_assemble_coo(coords, tris, free, e_mod, nu, t, n)
+    direct = (
+        native_assemble_coo(coords, tris, free, e_mod, nu, t, n)
+        if dcoefs is None
+        else None
+    )
     if direct is not None:
         keys, blocks = direct
         return (
@@ -108,8 +116,10 @@ def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
     )
     rows = np.repeat(np.arange(n, dtype=np.int64), s.width)
     cols = s.cols.reshape(-1).astype(np.int64)
-    flat = native_assemble(
-        coords, tris, free, e_mod, nu, t, ids, n * s.width
+    flat = (
+        native_assemble(coords, tris, free, e_mod, nu, t, ids, n * s.width)
+        if dcoefs is None
+        else None
     )
     if flat is not None:
         return rows, cols, flat.reshape(-1, 2, 2)
@@ -123,9 +133,12 @@ def _assemble_block_coo(coords, tris, e_mod, nu, t, free):
     gamma = np.stack([x[2] - x[1], x[0] - x[2], x[1] - x[0]])
     area2 = x[0] * (y[1] - y[2]) + x[1] * (y[2] - y[0]) + x[2] * (y[0] - y[1])
     coef = t / (2.0 * area2)
-    d0 = e_mod / (1.0 - nu * nu)
-    d1 = nu * d0
-    d2 = 0.5 * (1.0 - nu) * d0
+    if dcoefs is None:
+        d0 = e_mod / (1.0 - nu * nu)
+        d1 = nu * d0
+        d2 = 0.5 * (1.0 - nu) * d0
+    else:
+        d0, d1, d2 = dcoefs
     ba, bb = beta[:, None, :], beta[None, :, :]  # [3,3,E]
     ga, gb = gamma[:, None, :], gamma[None, :, :]
     fxa, fya = free[at, 0], free[at, 1]  # [3, E]
@@ -327,13 +340,15 @@ def _smooth_prolongator(rows, cols, vals, diag_inv, agg, p0_block, n_agg, omega)
 
 def _rap(
     arows, acols, avals, prows, pcols, pvals, n_agg, n_rows=None,
-    chunk=2_000_000,
+    chunk=2_000_000, filter_zeros=True,
 ):
     """Galerkin product P^T A P in block-COO.
 
     A: [nnz_a] blocks (m x m); P: [nnz_p] blocks (m x mc), rows sorted.
     Native C++ two-phase SpGEMM when available; chunked numpy sort+reduce
-    otherwise.
+    otherwise. `filter_zeros=False` keeps the full structural pattern --
+    the material-basis RAPs share one pattern across bases and filter on
+    the combined norms afterwards.
     """
     from ..native import rap_blocks
 
@@ -348,6 +363,12 @@ def _rap(
     )
     if native is not None:
         ck, cv = native
+        if not filter_zeros:
+            return (
+                (ck // n_agg).astype(np.int64),
+                (ck % n_agg).astype(np.int64),
+                cv,
+            )
         return _rap_filter(ck, cv, n_agg)
     p_ell_cols, p_ell_vals = _coo_to_ell(prows, pcols, pvals, n)
     wp = p_ell_cols.shape[1]
@@ -389,6 +410,12 @@ def _rap(
         pk.append(k)
         pv.append(v)
     ck, cv = _reduce_block_coo(np.concatenate(pk), np.concatenate(pv))
+    if not filter_zeros:
+        return (
+            (ck // n_agg).astype(np.int64),
+            (ck % n_agg).astype(np.int64),
+            cv,
+        )
     return _rap_filter(ck, cv, n_agg)
 
 
@@ -592,6 +619,196 @@ def build_amg_setup(
             float(cell_factor),
         ),
     )
+
+
+# ------------------- material-basis hierarchy (sweeps) ----------------------
+#
+# True (E, nu, t) material sweeps on unstructured meshes: the plane-stress
+# D matrix is linear in (d0, d1, d2), so THREE basis stiffness operators
+# (unit d0 / d1 / d2, t = 1) span every material:
+#     K(E, nu, t) = wa*Ka + wb*Kb + wc*Kc,
+#     wa = t*E/(1-nu^2), wb = nu*wa, wc = (1-nu)/2*wa.
+# Transfers P are built ONCE at a reference material (P quality only
+# affects preconditioner efficiency, never correctness), and the Galerkin
+# product is linear in A, so RAP-ing each basis with the same P carries the
+# decomposition down every level EXACTLY: each lane's coarse operator is
+# wa*PtAaP + wb*PtAbP + wc*PtAcP. Per-lane diagonal-block inverses are
+# formed on the fly in the lane smoother (parallel/sweep.py).
+
+_UNIT_DCOEFS = ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0), (0.0, 0.0, 1.0))
+
+
+@dataclass
+class AMGMaterialSetup:
+    """Basis-decomposed hierarchy for material-lane sweeps.
+
+    transfers: as AMGSetup (shared by all bases).
+    coarse_basis[l] for coarse level l: (a_cols [n,w],
+        a_vals3 [3, n, w, m, m] basis operator values on ONE shared
+        pattern, diag3 [3, n, m, m] basis diagonal blocks).
+    No dense coarsest inverse (it would be material-dependent); the
+    coarsest level smooths.
+    """
+
+    transfers: list
+    coarse_basis: list
+    level_sizes: list
+    setup_info: dict
+    fingerprint: Optional[str] = None
+
+
+def build_amg_material_setup(
+    coords: np.ndarray,
+    tris: np.ndarray,
+    free: np.ndarray,  # [N, 2] float or bool, 1 = unknown DOF
+    *,
+    nu_ref: float = 0.3,
+    cell_factor: float = 3.0,
+    max_levels: int = 8,
+    coarse_dof: int = _DENSE_COARSE_MAX_DOF,
+) -> AMGMaterialSetup:
+    """Build the shared-transfer basis hierarchy (host, numpy).
+
+    `nu_ref` fixes the reference material for prolongator smoothing and
+    aggregation; absolute stiffness scale cancels (rho(D^-1 A) is
+    scale-invariant), so only the Poisson ratio matters and mild lane
+    deviations cost a few extra CG iterations, never correctness."""
+    coords = np.asarray(coords, dtype=np.float64)
+    free = np.asarray(free, dtype=np.float64)
+    n = coords.shape[0]
+
+    triples = [
+        _assemble_block_coo(coords, tris, 0.0, 0.0, 1.0, free, dcoefs=dc)
+        for dc in _UNIT_DCOEFS
+    ]
+    rows, cols = triples[0][0], triples[0][1]
+    vals3 = [t[2] for t in triples]
+    d0r = 1.0 / (1.0 - nu_ref * nu_ref)
+    wref = (d0r, nu_ref * d0r, 0.5 * (1.0 - nu_ref) * d0r)
+
+    c0 = coords - coords.mean(axis=0)
+    bmodes = np.zeros((n, 2, 3))
+    bmodes[:, 0, 0] = 1.0
+    bmodes[:, 1, 1] = 1.0
+    bmodes[:, 0, 2] = -c0[:, 1]
+    bmodes[:, 1, 2] = c0[:, 0]
+    bmodes *= free[:, :, None]
+
+    p = coords[tris]
+    h = float(
+        np.median(
+            np.concatenate(
+                [
+                    np.hypot(*(p[:, 0] - p[:, 1]).T),
+                    np.hypot(*(p[:, 1] - p[:, 2]).T),
+                    np.hypot(*(p[:, 2] - p[:, 0]).T),
+                ]
+            )
+        )
+    )
+    cell = cell_factor * h
+
+    transfers = []
+    coarse_basis = []
+    level_sizes = [(n, 2)]
+    cur_coords = coords
+    m = 2
+    info = {"omegas": [], "rhos": []}
+
+    while len(level_sizes) < max_levels and level_sizes[-1][0] * m > coarse_dof:
+        n_l = level_sizes[-1][0]
+        vals_ref = wref[0] * vals3[0] + wref[1] * vals3[1] + wref[2] * vals3[2]
+        agg, centroids = _aggregate_cells(cur_coords, cell)
+        n_agg = centroids.shape[0]
+        if n_agg * 3 >= n_l * m:
+            break
+        p0_block, b_coarse = _tentative_prolongator(agg, n_agg, bmodes)
+        diag_inv = _guarded_inverse(_diag_blocks(rows, cols, vals_ref, n_l))
+        rho = _estimate_rho_dinv_a(rows, cols, vals_ref, diag_inv, n_l)
+        omega = 4.0 / 3.0 / max(rho, 1e-12)
+        info["rhos"].append(rho)
+        info["omegas"].append(omega)
+        prows, pcols, pvals = _smooth_prolongator(
+            rows, cols, vals_ref, diag_inv, agg, p0_block, n_agg, omega
+        )
+        p_cols, p_vals = _coo_to_ell(prows, pcols, pvals, n_l)
+        tk, tv = _reduce_block_coo(
+            pcols * np.int64(n_l) + prows, pvals.transpose(0, 2, 1)
+        )
+        pt_cols, pt_vals = _coo_to_ell(
+            (tk // n_l).astype(np.int64), (tk % n_l).astype(np.int64), tv, n_agg
+        )
+        transfers.append((p_cols, p_vals, pt_cols, pt_vals))
+
+        # basis RAPs on ONE shared pattern (filtering on combined norms)
+        raps = [
+            _rap(
+                rows, cols, v, prows, pcols, pvals, n_agg, n_rows=n_l,
+                filter_zeros=False,
+            )
+            for v in vals3
+        ]
+        crows, ccols = raps[0][0], raps[0][1]
+        for r2, c2, _ in raps[1:]:
+            assert np.array_equal(crows, r2) and np.array_equal(ccols, c2)
+        cvals3 = [r[2] for r in raps]
+        comb = wref[0] * cvals3[0] + wref[1] * cvals3[1] + wref[2] * cvals3[2]
+        norms = np.abs(comb).reshape(comb.shape[0], -1).max(axis=1)
+        keep = norms > 1e-14 * (norms.max() if norms.size else 1.0)
+        keep |= crows == ccols
+        rows, cols = crows[keep], ccols[keep]
+        vals3 = [v[keep] for v in cvals3]
+
+        a_cols = None
+        a_vals3 = []
+        diag3 = []
+        for v in vals3:
+            ac, av = _coo_to_ell(rows, cols, v, n_agg)
+            a_cols = ac
+            a_vals3.append(av)
+            diag3.append(_diag_blocks(rows, cols, v, n_agg))
+        coarse_basis.append(
+            (a_cols, np.stack(a_vals3), np.stack(diag3))
+        )
+
+        bmodes = b_coarse
+        cur_coords = centroids
+        m = 3
+        level_sizes.append((n_agg, m))
+        cell *= cell_factor
+
+    info["levels"] = level_sizes
+    return AMGMaterialSetup(
+        transfers=transfers,
+        coarse_basis=coarse_basis,
+        level_sizes=level_sizes,
+        setup_info=info,
+        fingerprint=setup_fingerprint(
+            coords, tris, free, 0.0, float(nu_ref), 1.0, float(cell_factor)
+        ),
+    )
+
+
+def material_amg_device_arrays(setup: AMGMaterialSetup, dtype) -> tuple:
+    """Upload the basis hierarchy as a jit-traceable pytree."""
+    transfers = tuple(
+        (
+            jnp.asarray(pc),
+            jnp.asarray(pv, dtype=dtype),
+            jnp.asarray(tc),
+            jnp.asarray(tv, dtype=dtype),
+        )
+        for pc, pv, tc, tv in setup.transfers
+    )
+    coarse = tuple(
+        (
+            jnp.asarray(ac),
+            jnp.asarray(av3, dtype=dtype),
+            jnp.asarray(d3, dtype=dtype),
+        )
+        for ac, av3, d3 in setup.coarse_basis
+    )
+    return (transfers, coarse)
 
 
 def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:

@@ -511,3 +511,69 @@ def test_unstructured_amg_sweep_renumbers_band_hostile(metadata):
     assert np.abs(result.u[0] - single.u).max() < 2e-4 * scale
     # lane 1 at double stiffness, displacement-driven: same u
     assert np.abs(result.u[1] - single.u).max() < 2e-4 * scale
+
+
+def test_unstructured_material_sweep_matches_individual_solves(metadata):
+    """TRUE (E, nu, t) material sweep on a delaunay mesh: three basis DIA
+    band sets + the basis AMG hierarchy (shared transfers, per-lane
+    operators and diagonals combined on the fly) give every lane the exact
+    V-cycle of its own material. Parity per lane vs solve_system."""
+    from magnetite_tpu.config import ModelMetadata
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from magnetite_tpu.parallel.sweep import (
+        compile_unstructured_material_sweep,
+    )
+    from tests.conftest import make_rule
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from magnetite_tpu.config import BoundaryRegion
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    mesh = triangulate([outer, hole], 0.0, 0.04)
+
+    rules = (
+        make_rule("left", BoundaryRegion(x_max=1e-6), ux=0.0, uy=0.0),
+        make_rule("right", BoundaryRegion(x_min=3.0 - 1e-6), ux=0.01, fy=0.0),
+    )
+    bca = apply_boundary_conditions(mesh.coords, rules)
+
+    b = 4
+    rng = np.random.default_rng(3)
+    e_mods = rng.uniform(50e9, 200e9, b)
+    nus = rng.uniform(0.22, 0.38, b)
+    ts = rng.uniform(0.2, 1.0, b)
+    u_values = np.tile(bca.u_value[None], (b, 1, 1))
+    f_values = np.tile(bca.f_value[None], (b, 1, 1))
+    # one force-driven lane (exercises the deep-accuracy mixed path)
+    u_values[1] = np.where(bca.u_known, 0.0, u_values[1])
+    f_values[1] = 0.0
+    right = mesh.coords[:, 0] > 3.0 - 1e-6
+    f_values[1, right, 1] = 1e6
+
+    compiled = compile_unstructured_material_sweep(
+        mesh, bca, iterations=35, dtype=np.float32
+    )
+    result = compiled.solve(u_values, f_values, e_mods, nus, ts)
+
+    rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
+    assert (rel < 1e-5).all(), rel
+
+    from magnetite_tpu.bc import BCArrays
+
+    for lane in range(b):
+        md_l = ModelMetadata(e_mods[lane], nus[lane], ts[lane], 0.0, 0.04)
+        bca_l = bca
+        if lane == 1:
+            bca_l = BCArrays(
+                u_known=bca.u_known,
+                u_value=np.where(bca.u_known, 0.0, bca.u_value),
+                f_value=f_values[1],
+            )
+        single = solve_system(mesh, bca_l, md_l, SolverOptions(cg_rtol=1e-10))
+        scale_u = max(np.abs(single.u).max(), 1e-30)
+        scale_vm = max(np.abs(single.von_mises).max(), 1e-30)
+        assert np.abs(result.u[lane] - single.u).max() < 2e-4 * scale_u, lane
+        assert (
+            np.abs(result.von_mises[lane] - single.von_mises).max()
+            < 2e-4 * scale_vm
+        ), lane
