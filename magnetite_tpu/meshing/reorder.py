@@ -183,17 +183,36 @@ def renumber(
     if method in ("auto", "geometric"):
         candidates.append(geometric_order(mesh.coords, mesh.tris))
     if method == "rcm" or (method == "auto" and n <= 200_000):
-        # RCM's per-level host loop is only worth trying at sizes where its
-        # runtime is negligible; geometric handles quasi-uniform large meshes
+        # small meshes: RCM's per-level host loop is negligible, always try
         candidates.append(rcm_order(mesh.tris, n))
     if not candidates:
         raise ValueError(f"unknown renumber method '{method}'")
 
     best = None
-    for perm in candidates:
-        m2 = apply_permutation(mesh, perm)
-        stats = band_stats(m2.tris, top_k=top_k)
-        key = (stats.remainder_frac, stats.n_offsets)
-        if best is None or key < best[0]:
-            best = (key, m2, perm, stats)
+    tried_rcm = method == "rcm" or (method == "auto" and n <= 200_000)
+    while True:
+        for perm in candidates:
+            m2 = apply_permutation(mesh, perm)
+            stats = band_stats(m2.tris, top_k=top_k)
+            key = (stats.remainder_frac, stats.n_offsets)
+            if best is None or key < best[0]:
+                best = (key, m2, perm, stats)
+        if tried_rcm or best[3].remainder_frac == 0.0:
+            break
+        # large mesh where geometric row-binning failed (strongly graded /
+        # band-hostile): RCM's level-synchronous loop costs seconds even at
+        # ~1M nodes -- orders of magnitude cheaper than silently landing on
+        # the gather-ELL operator, the slowest formulation on TPU
+        tried_rcm = True
+        candidates = [rcm_order(mesh.tris, n)]
+    if best[3].remainder_frac > 0.0:
+        from ..utils.logging import log
+
+        log(
+            "warning: mesh stays band-hostile after renumbering "
+            f"({best[3].n_offsets} distinct offsets, "
+            f"{best[3].remainder_frac:.1%} of couplings outside the top "
+            f"{top_k}); the solver will fall back to slower operator "
+            "formats (hybrid/ELL)"
+        )
     return best[1], best[2], best[3]

@@ -181,3 +181,35 @@ def test_gmsh_ordered_msh_gets_renumbered_banded_solve(metadata):
     np.testing.assert_allclose(
         res.u, ref.u[idx], atol=1e-9 * max(np.abs(ref.u).max(), 1e-30)
     )
+
+
+def test_large_band_hostile_mesh_recovers_or_warns(capsys):
+    """VERDICT r3 item 6: a >200k-node mesh where geometric row-binning
+    fails must NOT silently land on gather-ELL. The renumberer now runs
+    RCM at any size when geometric stays band-hostile, and warns when the
+    best ordering still is. Either outcome -- banded recovery or the
+    warning -- is a pass; silence with a hostile ordering is the bug."""
+    from magnetite_tpu.utils.logging import set_logging
+
+    mesh = rect_mesh(549, 549)  # 302,500 nodes
+    coords = mesh.coords.copy()
+    ymax = coords[:, 1].max()
+    # cubic grading: most row spacings shrink below the geometric binning
+    # pitch, collapsing many mesh rows per bin -> hostile offset spread
+    coords[:, 1] = (coords[:, 1] / ymax) ** 3 * ymax
+    rng = np.random.default_rng(11)
+    shuffle = rng.permutation(mesh.num_nodes)
+    inv = np.empty_like(shuffle)
+    inv[shuffle] = np.arange(mesh.num_nodes)
+    hostile = Mesh(coords=coords[inv], tris=shuffle[mesh.tris])
+
+    set_logging(True)
+    try:
+        _, perm, stats = renumber(hostile, method="auto", top_k=48)
+    finally:
+        set_logging(False)
+    err = capsys.readouterr().err
+    assert stats.remainder_frac == 0.0 or "band-hostile" in err, (
+        stats,
+        err,
+    )
