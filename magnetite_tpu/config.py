@@ -94,7 +94,11 @@ class SolverOptions:
     # Unstructured meshes below this node count keep block-Jacobi under
     # preconditioner="auto" (the AMG hierarchy build is a host-side setup
     # cost that only pays off once iteration counts grow into the hundreds).
-    amg_auto_min_nodes: int = 20_000
+    # Set from measurement (scripts/measure_amg_threshold.py, v5e r4): the
+    # f64-refined solve-time crossover sits at ~5k nodes (0.318 s bj vs
+    # 0.313 s amg at 5013), and the f32 serving config wins well below it
+    # (6204 nodes: 0.060 s / 471 iters bj vs 0.028 s / 8 iters amg).
+    amg_auto_min_nodes: int = 5_000
     # Aggregate diameter in median-edge-lengths (~cell_factor^2 nodes per
     # aggregate); 3.0 is the standard SA sweet spot.
     amg_cell_factor: float = 3.0

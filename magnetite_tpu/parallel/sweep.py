@@ -681,6 +681,12 @@ def sweep_solve(
     von Mises fields. k_scales model Young's modulus at fixed Poisson ratio
     and thickness (u scales as 1/s for force-driven cases; stress recovery
     accounts for the material scale in both cases).
+
+    impl: "auto" | "stencil" (grid + shared multigrid) | "amg"
+    (arbitrary meshes, shared AMG hierarchy -- compile_unstructured_sweep)
+    | "lanes" (DIA block-Jacobi) | vmap fallback. Auto routes unstructured
+    meshes at AMG scale through the AMG lanes with a capped iteration
+    budget (~25 suffice at ~1e-6; each costs ~5 block-Jacobi iterations).
     """
     if impl in ("auto", "stencil") and mesh.grid_shape is not None:
         from ..fem.multigrid import can_coarsen

@@ -65,19 +65,27 @@ def main():
                 refine="on",
                 preconditioner=precond,
                 amg_auto_min_nodes=0,
+                max_cg_iters=40_000,
             )
-            t0 = time.perf_counter()
-            problem = compile_problem(mesh, bca, md, opts)
-            row[f"{precond}_compile_s"] = round(time.perf_counter() - t0, 3)
-            if precond == "amg" and problem.amg_setup is not None:
-                row["amg_levels"] = problem.amg_setup.level_sizes
-            # warm solve (second call reuses the jitted core)
-            problem.solve()
-            t0 = time.perf_counter()
-            res = problem.solve()
-            row[f"{precond}_solve_s"] = round(time.perf_counter() - t0, 4)
-            row[f"{precond}_iters"] = int(res.iterations)
-            row[f"{precond}_rel"] = float(res.residual_rel)
+            try:
+                t0 = time.perf_counter()
+                problem = compile_problem(mesh, bca, md, opts)
+                row[f"{precond}_compile_s"] = round(
+                    time.perf_counter() - t0, 3
+                )
+                if precond == "amg" and problem.amg_setup is not None:
+                    row["amg_levels"] = problem.amg_setup.level_sizes
+                # warm solve (second call reuses the jitted core)
+                problem.solve()
+                t0 = time.perf_counter()
+                res = problem.solve()
+                row[f"{precond}_solve_s"] = round(
+                    time.perf_counter() - t0, 4
+                )
+                row[f"{precond}_iters"] = int(res.iterations)
+                row[f"{precond}_rel"] = float(res.residual_rel)
+            except Exception as err:  # record, keep the ladder going
+                row[f"{precond}_error"] = f"{type(err).__name__}: {err}"
         print(json.dumps(row), flush=True)
 
 
