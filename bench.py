@@ -452,7 +452,7 @@ def bench_unstructured_sweep(extras):
 
     outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
     hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
-    h = 0.02  # ~12.4k nodes / 24k elements
+    h = 0.03  # ~5.6k nodes / 10.6k elements (f64 lane state fits HBM)
     mesh = triangulate([outer, hole], 0.0, h)
     rules = (
         BoundaryRule(
@@ -479,7 +479,13 @@ def bench_unstructured_sweep(extras):
 
     iters = 25
     t0 = time.perf_counter()
-    compiled = compile_unstructured_sweep(mesh, base, md, iterations=iters)
+    # refined=False: these lanes are displacement-driven, where pure-f32
+    # converges to ~2e-6 TRUE relative residual (recorded below); the f64
+    # default costs ~15x on emulated-f64 band matvecs and exists for
+    # force-driven lanes that hit the kappa*eps_f32 wall
+    compiled = compile_unstructured_sweep(
+        mesh, base, md, iterations=iters, refined=False
+    )
     result = compiled.solve(*batch(0))
     float(np.asarray(result.residual_norm[0]))
     t_total = time.perf_counter() - t0  # setup + first batch (incl. compile)
@@ -500,6 +506,77 @@ def bench_unstructured_sweep(extras):
     extras["unstructured_sweep_solves_per_s"] = round(b / t)
     extras["unstructured_sweep_first_s"] = round(t_total, 2)
     extras["unstructured_sweep_rel_residual_max"] = float(rel.max())
+
+
+def bench_unstructured_material_sweep(extras):
+    """4096-variant TRUE (E, nu, t) sweep on a DELAUNAY mesh: three basis
+    DIA band sets + the basis AMG hierarchy give every lane the exact
+    V-cycle of its own material (fem/amg.build_amg_material_setup)."""
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from magnetite_tpu.config import (
+        BoundaryRegion,
+        BoundaryRule,
+        BoundaryTarget,
+    )
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from magnetite_tpu.parallel.sweep import (
+        compile_unstructured_material_sweep,
+    )
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    h = 0.03  # matches bench_unstructured_sweep (HBM budget)
+    mesh = triangulate([outer, hole], 0.0, h)
+    rules = (
+        BoundaryRule(
+            "left", BoundaryRegion(x_max=1e-6), BoundaryTarget(ux=0.0, uy=0.0)
+        ),
+        BoundaryRule(
+            "right",
+            BoundaryRegion(x_min=3.0 - 1e-6),
+            BoundaryTarget(ux=0.01, fy=0.0),
+        ),
+    )
+    base = apply_boundary_conditions(mesh.coords, rules)
+    b = 4096
+    iters = 30
+
+    def batch(seed):
+        rng = np.random.default_rng(seed)
+        u_values = np.tile(base.u_value[None], (b, 1, 1)).astype(np.float32)
+        f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
+        return (
+            u_values,
+            f_values,
+            rng.uniform(40e9, 250e9, b).astype(np.float32),
+            rng.uniform(0.22, 0.38, b).astype(np.float32),
+            rng.uniform(0.2, 1.0, b).astype(np.float32),
+        )
+
+    t0 = time.perf_counter()
+    # displacement-driven lanes: f32 CG suffices (see unstructured_sweep)
+    compiled = compile_unstructured_material_sweep(
+        mesh, base, iterations=iters, refined=False
+    )
+    result = compiled.solve(*batch(0))
+    float(np.asarray(result.residual_norm[0]))
+    t_total = time.perf_counter() - t0
+
+    times = []
+    for seed in (1, 2, 3):
+        args = batch(seed)
+        t0 = time.perf_counter()
+        result = compiled.solve(*args)
+        rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
+        times.append(time.perf_counter() - t0)
+    t = float(np.min(times))
+    extras["unstructured_material_sweep_variants"] = b
+    extras["unstructured_material_sweep_mesh_nodes"] = mesh.num_nodes
+    extras["unstructured_material_sweep_iterations"] = iters
+    extras["unstructured_material_sweep_warm_s"] = round(t, 3)
+    extras["unstructured_material_sweep_solves_per_s"] = round(b / t)
+    extras["unstructured_material_sweep_first_s"] = round(t_total, 2)
+    extras["unstructured_material_sweep_rel_residual_max"] = float(rel.max())
 
 
 def main():
@@ -527,6 +604,11 @@ def main():
                 return True, result
             except Exception as err:
                 extras[f"{name}_error"] = f"{type(err).__name__}: {err}"
+                # drop any device buffers the failed block still references
+                # (an OOMed sweep otherwise starves every later block)
+                import gc
+
+                gc.collect()
         return False, None
 
     linkedin_t = bench_linkedin(extras)
@@ -538,6 +620,11 @@ def main():
     attempt("sweep", bench_sweep, extras)
     attempt("material_sweep", bench_material_sweep, extras)
     attempt("unstructured_sweep", bench_unstructured_sweep, extras)
+    attempt(
+        "unstructured_material_sweep",
+        bench_unstructured_material_sweep,
+        extras,
+    )
     # last: a TPU-runtime fault here must not take the other blocks with it
     attempt("unstructured", bench_unstructured_1m, extras)
 

@@ -644,8 +644,9 @@ class AMGMaterialSetup:
 
     transfers: as AMGSetup (shared by all bases).
     coarse_basis[l] for coarse level l: (a_cols [n,w],
-        a_vals3 [3, n, w, m, m] basis operator values on ONE shared
-        pattern, diag3 [3, n, m, m] basis diagonal blocks).
+        (av_a, av_b, av_c) each [n, w, m, m] basis operator values on ONE
+        shared pattern, (d_a, d_b, d_c) each [n, m, m] basis diagonals --
+        bases kept as separate arrays for TPU tiling).
     No dense coarsest inverse (it would be material-dependent); the
     coarsest level smooths.
     """
@@ -767,8 +768,10 @@ def build_amg_material_setup(
             a_cols = ac
             a_vals3.append(av)
             diag3.append(_diag_blocks(rows, cols, v, n_agg))
+        # bases stay SEPARATE arrays: a stacked [3, ...] array puts the
+        # tiny block dims into TPU tile positions (up to 64x padding)
         coarse_basis.append(
-            (a_cols, np.stack(a_vals3), np.stack(diag3))
+            (a_cols, tuple(a_vals3), tuple(diag3))
         )
 
         bmodes = b_coarse
@@ -803,8 +806,8 @@ def material_amg_device_arrays(setup: AMGMaterialSetup, dtype) -> tuple:
     coarse = tuple(
         (
             jnp.asarray(ac),
-            jnp.asarray(av3, dtype=dtype),
-            jnp.asarray(d3, dtype=dtype),
+            tuple(jnp.asarray(a, dtype=dtype) for a in av3),
+            tuple(jnp.asarray(d, dtype=dtype) for d in d3),
         )
         for ac, av3, d3 in setup.coarse_basis
     )
@@ -909,7 +912,11 @@ def make_amg_preconditioner(
                 # problems that never coarsened): exact preconditioner
                 rn = to_nodes(r)
                 flat = rn.reshape(rn.shape[0] * rn.shape[1], -1)
-                return from_nodes((ci[0] @ flat).reshape(rn.shape))
+                return from_nodes(
+                    jnp.matmul(ci[0], flat, precision="highest").reshape(
+                        rn.shape
+                    )
+                )
             return omega0 * jac0(r)
         e = omega0 * jac0(r)
         for _ in range(pre_sweeps - 1):
@@ -956,8 +963,14 @@ def make_coarse_cycle(
     def cycle(l, r):
         if l == n_coarse - 1:
             if ci:
+                # precision="highest": the default matmul drops to bf16 on
+                # the TPU MXU, and a ~1e-2-noise coarse correction stalled
+                # lane sweeps at 1e-2 relative (measured r4); full-f32 is
+                # microseconds at coarsest sizes
                 flat = r.reshape(r.shape[0] * r.shape[1], -1)
-                return (ci[0] @ flat).reshape(r.shape)
+                return jnp.matmul(
+                    ci[0], flat, precision="highest"
+                ).reshape(r.shape)
             return smooth(l, jnp.zeros_like(r), r, coarse_sweeps)
         a_cols, a_vals, d_inv = coarse[l]
         e = omega * _apply_blocks(d_inv, r)

@@ -1434,22 +1434,27 @@ def _basis_element_stiffness(coords, tris, dcoef):
 def _lane_weighted_band_matvec(bands3, offsets, wa, wb, wc, u):
     """y = (wa*Ka + wb*Kb + wc*Kc) u on [2, N, B] lane fields.
 
-    bands3 [3, D, 2, 2, N]; one roll per offset feeds all three bases (the
-    basis combination happens in the per-offset block coefficients, so the
-    memory traffic stays one band-set's worth of u reads)."""
-    y0 = jnp.zeros_like(u[0])
-    y1 = jnp.zeros_like(u[1])
+    bands3: TUPLE of three [D, 2, 2, N] basis band sets -- kept as
+    separate arrays in the k-scale path's proven layout (a stacked
+    [3, D, 2, 2, N] array tiled its tiny dims into T(8,128) positions:
+    64x padding expansion and per-offset materialized copies OOMed the
+    compile at 25 GB). One roll per offset feeds all three bases; the
+    combination fuses into the FMA chain."""
+    # SIX per-basis accumulators with [N, 1]-broadcast band coefficients --
+    # the same fusion pattern the k-scale lanes use. Combining the basis
+    # blocks per offset instead ([2,2,N,B] per-lane blocks) made XLA
+    # materialize every offset's combined block concurrently: ~25 GB.
+    acc = [jnp.zeros_like(u[0]) for _ in range(6)]
     for d_idx, off in enumerate(offsets):
-        shifted = jnp.roll(u, -off, axis=1) if off != 0 else u
-        # [2, 2, N, B] per-lane block: basis blocks combined by lane weights
-        b3 = bands3[:, d_idx]  # [3, 2, 2, N]
-        b = (
-            b3[0][:, :, :, None] * wa
-            + b3[1][:, :, :, None] * wb
-            + b3[2][:, :, :, None] * wc
-        )
-        y0 = y0 + b[0, 0] * shifted[0] + b[0, 1] * shifted[1]
-        y1 = y1 + b[1, 0] * shifted[0] + b[1, 1] * shifted[1]
+        s = jnp.roll(u, -off, axis=1) if off != 0 else u
+        for k, bk in enumerate(bands3):
+            blk = bk[d_idx][:, :, :, None]  # [2, 2, N, 1]
+            acc[2 * k] = acc[2 * k] + blk[0, 0] * s[0] + blk[0, 1] * s[1]
+            acc[2 * k + 1] = (
+                acc[2 * k + 1] + blk[1, 0] * s[0] + blk[1, 1] * s[1]
+            )
+    y0 = acc[0] * wa + acc[2] * wb + acc[4] * wc
+    y1 = acc[1] * wa + acc[3] * wb + acc[5] * wc
     return jnp.stack([y0, y1])
 
 
@@ -1507,19 +1512,19 @@ def _material_amg_vcycle(
     n_coarse = len(coarse)
 
     def mv(l, x):  # x [n, m, B]
-        a_cols, av3, _ = coarse[l]
+        a_cols, (av_a, av_b, av_c), _ = coarse[l]
         xg = x[a_cols]  # [n, w, m, B] -- ONE gather feeds all three bases
-        ya = jnp.einsum("nwij,nwjb->nib", av3[0], xg, precision="highest")
-        yb = jnp.einsum("nwij,nwjb->nib", av3[1], xg, precision="highest")
-        yc = jnp.einsum("nwij,nwjb->nib", av3[2], xg, precision="highest")
+        ya = jnp.einsum("nwij,nwjb->nib", av_a, xg, precision="highest")
+        yb = jnp.einsum("nwij,nwjb->nib", av_b, xg, precision="highest")
+        yc = jnp.einsum("nwij,nwjb->nib", av_c, xg, precision="highest")
         return ya * wa + yb * wb + yc * wc
 
     def dinv(l, r):  # r [n, 3, B]
-        _, _, d3 = coarse[l]
+        _, _, (d_a, d_b, d_c) = coarse[l]
         d = (
-            d3[0][:, :, :, None] * wa
-            + d3[1][:, :, :, None] * wb
-            + d3[2][:, :, :, None] * wc
+            d_a[:, :, :, None] * wa
+            + d_b[:, :, :, None] * wb
+            + d_c[:, :, :, None] * wc
         )
         return _lane_inv3_apply(d, r)
 
@@ -1555,8 +1560,8 @@ def _material_dia_amg_lanes_core(
     bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
     e_mods, nus, ts, tris, iterations,
 ):
-    cgt = bands3.dtype
-    smt = bands3_sm.dtype
+    cgt = bands3[0].dtype
+    smt = bands3_sm[0].dtype
     u_fixed = u_fixed.transpose(2, 1, 0).astype(cgt)  # [2, N, B]
     f_applied = f_applied.transpose(2, 1, 0).astype(cgt)
     free_b = free.astype(cgt)[:, :, None]
@@ -1579,7 +1584,7 @@ def _material_dia_amg_lanes_core(
     # level-0 per-lane reduced diag inverse (f32): basis diagonals combined
     # by lane weights, BC-reduced, 2x2 Cramer per (node, lane)
     zero_idx = offsets.index(0)
-    d3 = bands3_sm[:, zero_idx]  # [3, 2, 2, N]
+    d3 = tuple(b[zero_idx] for b in bands3_sm)  # 3 x [2, 2, N]
     outer = (free_sm[:, None, :, 0] * free_sm[None, :, :, 0])[
         :, :, :, None
     ]  # [2,2,N,1]
@@ -1656,8 +1661,8 @@ def _material_dia_amg_lanes_jit(
 class CompiledUnstructuredMaterialSweep:
     """An arbitrary mesh compiled for (E, nu, t)-per-lane sweeps."""
 
-    bands3: jax.Array  # [3, D, 2, 2, N] CG precision
-    bands3_sm: jax.Array  # f32 smoothing copy (same array when pure f32)
+    bands3: tuple  # 3 x [D, 2, 2, N] basis band sets, CG precision
+    bands3_sm: tuple  # f32 smoothing copies (same tuple when pure f32)
     offsets: tuple
     mamg: tuple
     b_mat: jax.Array
@@ -1764,18 +1769,20 @@ def compile_unstructured_material_sweep(
 
     coords = jnp.asarray(mesh.coords, dtype=cg_dtype)
     tris = jnp.asarray(mesh.tris)
-    bands3 = jnp.stack(
-        [
-            assemble_dia(
-                _basis_element_stiffness(coords, tris, dc),
-                dia.slot_ids,
-                n,
-                dia.n_diags,
-            )
-            for dc in _UNIT_DCOEFS
-        ]
+    bands3 = tuple(
+        assemble_dia(
+            _basis_element_stiffness(coords, tris, dc),
+            dia.slot_ids,
+            n,
+            dia.n_diags,
+        )
+        for dc in _UNIT_DCOEFS
     )
-    bands3_sm = bands3.astype(sm_dtype) if cg_dtype != sm_dtype else bands3
+    bands3_sm = (
+        tuple(b.astype(sm_dtype) for b in bands3)
+        if cg_dtype != sm_dtype
+        else bands3
+    )
     ecoords = gather_element_coords(coords, tris).astype(sm_dtype)
     areas = element_areas(ecoords)
     b_mat = strain_displacement_matrices(ecoords, areas)
