@@ -21,6 +21,13 @@ recovery) in ONE jit call on one TPU chip. Extras:
   sweep_*  -- 4096-variant load sweep (shared multigrid hierarchy).
   material_sweep_* -- 4096-variant TRUE material sweep: per-lane
               (E, nu, t) via basis stencils, exact per-lane multigrid.
+  unstructured_sweep_* -- 4096-variant load sweep on a DELAUNAY mesh
+              (shared smoothed-aggregation AMG hierarchy, exact per-lane
+              k-scaling; TRUE relative residuals).
+  unstructured_material_sweep_* -- 4096 TRUE (E, nu, t) variants on a
+              delaunay mesh: basis DIA bands + basis AMG hierarchy.
+  unstructured_resumed_* -- the checkpoint-resume path (persist.py):
+              what a CLI re-run with --load-case pays before solving.
 
 Timing notes: the axon tunnel adds ~26 ms per-dispatch round trip, so all
 timed runs keep inputs AND outputs on device and sync on a scalar; the SpMV

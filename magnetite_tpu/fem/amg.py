@@ -814,23 +814,33 @@ def material_amg_device_arrays(setup: AMGMaterialSetup, dtype) -> tuple:
     return (transfers, coarse)
 
 
+def _upload(a, dtype=None):
+    """Tunnel-friendly host->device upload (chunked above ~64 MB)."""
+    from ..utils.transfer import chunked_device_put
+
+    a = np.asarray(a)
+    if dtype is not None and a.dtype != dtype:
+        a = a.astype(dtype)
+    return chunked_device_put(a)
+
+
 def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
     """Upload the hierarchy as a jit-traceable pytree of device arrays."""
     transfers = tuple(
         (
-            jnp.asarray(pc),
-            jnp.asarray(pv, dtype=dtype),
-            jnp.asarray(tc),
-            jnp.asarray(tv, dtype=dtype),
+            _upload(pc),
+            _upload(pv, dtype),
+            _upload(tc),
+            _upload(tv, dtype),
         )
         for pc, pv, tc, tv in setup.transfers
     )
     coarse = tuple(
-        (jnp.asarray(ac), jnp.asarray(av, dtype=dtype), jnp.asarray(di, dtype=dtype))
+        (_upload(ac), _upload(av, dtype), _upload(di, dtype))
         for ac, av, di in setup.coarse_ops
     )
     ci = (
-        (jnp.asarray(setup.coarsest_inv, dtype=dtype),)
+        (_upload(setup.coarsest_inv, dtype),)
         if setup.coarsest_inv is not None
         else ()
     )
