@@ -198,20 +198,30 @@ def bench_unstructured_1m(extras):
     extras["unstructured_preconditioner"] = problem.preconditioner
     extras["unstructured_residual_rel"] = resnorm / bnorm
 
-    # the amortized path: checkpoint mesh+AMG (persist.py), then re-compile
-    # from the checkpoint -- what a CLI re-run with --load-case pays
+    # the amortized path: checkpoint mesh + AMG hierarchy + assembled
+    # operator (persist.py), then re-compile from the checkpoints -- what a
+    # CLI re-run with --load-case pays (it auto-loads the .amg/.op siblings)
     import os
     import tempfile
 
-    from magnetite_tpu.persist import load_amg, load_case, save_amg, save_case
+    from magnetite_tpu.persist import (
+        load_amg,
+        load_case,
+        load_operator,
+        save_amg,
+        save_case,
+        save_operator,
+    )
 
     with tempfile.TemporaryDirectory() as tmp:
         case = os.path.join(tmp, "case.npz")
         save_case(case, mesh, bca, metadata=metadata)
         save_amg(case + ".amg.npz", problem.amg_setup)
+        save_operator(case + ".op.npz", problem)
         t0 = time.perf_counter()
         mesh_r, bca_r, md_r, structure_r = load_case(case)
         amg_r = load_amg(case + ".amg.npz")
+        op_r = load_operator(case + ".op.npz")
         problem_r = compile_problem(
             mesh_r,
             bca_r,
@@ -219,6 +229,7 @@ def bench_unstructured_1m(extras):
             SolverOptions(dtype="float32", cg_rtol=1e-8, refine="on"),
             structure=structure_r,
             amg_setup=amg_r,
+            operator_cache=op_r,
         )
         extras["unstructured_resumed_prep_s"] = round(
             time.perf_counter() - t0, 2

@@ -211,6 +211,17 @@ def entry(argv=None) -> None:
             except InputError as err:
                 # the cache is purely an optimization: never fail the run
                 log(f"warning: ignoring unreadable AMG cache ({err})")
+        operator_cache = None
+        if args.load_case and os.path.exists(args.load_case + ".op.npz"):
+            from .errors import InputError
+            from .persist import load_operator
+
+            try:
+                with stage("load-operator"):
+                    operator_cache = load_operator(args.load_case + ".op.npz")
+                log("info: loaded assembled-operator cache")
+            except InputError as err:
+                log(f"warning: ignoring unreadable operator cache ({err})")
         with stage("solve"):
             # `structure` is the checkpoint's block-ELL sparsity when
             # resuming; `amg_setup` the checkpoint's AMG hierarchy (both
@@ -236,6 +247,7 @@ def entry(argv=None) -> None:
                 problem = compile_problem(
                     mesh, bca, sim.metadata, options,
                     structure=structure, amg_setup=amg_setup,
+                    operator_cache=operator_cache,
                 )
             result = problem.solve()
         if args.save_case and problem.amg_setup is not None:
@@ -251,6 +263,17 @@ def entry(argv=None) -> None:
             with stage("save-amg"):
                 save_amg(case_path + ".amg.npz", problem.amg_setup)
             log(f"info: cached AMG hierarchy to {case_path}.amg.npz")
+        if args.save_case and getattr(problem, "operator_host", None) is not None:
+            from .persist import save_operator
+
+            case_path = (
+                args.save_case
+                if args.save_case.endswith(".npz")
+                else args.save_case + ".npz"
+            )
+            with stage("save-operator"):
+                save_operator(case_path + ".op.npz", problem)
+            log(f"info: cached assembled operator to {case_path}.op.npz")
         log(
             f"info: finished conjugate gradient in {result.iterations} "
             f"iterations (residual {result.residual_norm:.3e})"

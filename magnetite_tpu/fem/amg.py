@@ -434,12 +434,11 @@ def _rap_filter(ck, cv, n_agg):
     )
 
 
-def setup_fingerprint(coords, tris, free, e_mod, nu, t, cell_factor) -> str:
-    """Exact identity of everything a hierarchy build depends on: the full
-    mesh bytes (renumbering changes them; a deterministic re-renumber of
-    the same mesh reproduces them), the BC free mask, the material, and
-    the aggregation cell factor. sha1 over ~40 MB at 1M elements costs
-    ~0.1 s -- negligible next to the build it validates."""
+def mesh_state_hash(coords, tris, free) -> str:
+    """sha1 identity of the mesh + BC free mask (the expensive part of any
+    cache fingerprint: ~0.3 s over ~60 MB at 1M elements). Computed once
+    per compile and shared by the AMG-hierarchy and assembled-operator
+    cache checks."""
     import hashlib
 
     h = hashlib.sha1()
@@ -448,17 +447,37 @@ def setup_fingerprint(coords, tris, free, e_mod, nu, t, cell_factor) -> str:
     h.update(np.ascontiguousarray(coords, np.float64).tobytes())
     h.update(np.ascontiguousarray(tris, np.int64).tobytes())
     h.update(np.ascontiguousarray(free, np.float64).tobytes())
+    return h.hexdigest()
+
+
+def setup_fingerprint(
+    coords, tris, free, e_mod, nu, t, cell_factor, mesh_hash=None
+) -> str:
+    """Exact identity of everything a hierarchy build depends on: the full
+    mesh bytes (renumbering changes them; a deterministic re-renumber of
+    the same mesh reproduces them), the BC free mask, the material, and
+    the aggregation cell factor. Pass a precomputed `mesh_hash`
+    (mesh_state_hash) to skip re-hashing the mesh arrays."""
+    import hashlib
+
+    if mesh_hash is None:
+        mesh_hash = mesh_state_hash(coords, tris, free)
+    h = hashlib.sha1()
+    h.update(mesh_hash.encode())
     h.update(np.asarray([e_mod, nu, t, cell_factor], np.float64).tobytes())
     return h.hexdigest()
 
 
-def setup_matches(setup, coords, tris, free, metadata, cell_factor, perm) -> bool:
+def setup_matches(
+    setup, coords, tris, free, metadata, cell_factor, perm, mesh_hash=None
+) -> bool:
     """Is a provided AMGSetup valid for THIS problem (post-renumber mesh,
     BC mask, material, aggregation size)? Fingerprint-less caches from
     older saves fall back to a conservative check (no renumbering, same
     node count). The one validity rule shared by compile_problem and the
     sharded prepare -- a mismatched-but-SPD hierarchy would silently cost
-    orders of magnitude in iterations."""
+    orders of magnitude in iterations. `mesh_hash`: optional precomputed
+    mesh_state_hash of (coords, tris, free) to skip the ~0.3 s re-hash."""
     if setup.fingerprint is not None:
         return setup.fingerprint == setup_fingerprint(
             coords,
@@ -468,6 +487,7 @@ def setup_matches(setup, coords, tris, free, metadata, cell_factor, perm) -> boo
             metadata.poisson_ratio,
             metadata.part_thickness,
             cell_factor,
+            mesh_hash=mesh_hash,
         )
     return perm is None and setup.level_sizes[0][0] == coords.shape[0]
 
@@ -506,6 +526,7 @@ def build_amg_setup(
     cell_factor: float = 3.0,
     max_levels: int = 8,
     coarse_dof: int = _DENSE_COARSE_MAX_DOF,
+    mesh_hash: Optional[str] = None,
 ) -> AMGSetup:
     """Build the SA hierarchy for one mesh + BC set (host, numpy)."""
     coords = np.asarray(coords, dtype=np.float64)
@@ -616,7 +637,7 @@ def build_amg_setup(
         setup_info=info,
         fingerprint=setup_fingerprint(
             coords, tris, free, float(e_mod), float(nu), float(t),
-            float(cell_factor),
+            float(cell_factor), mesh_hash=mesh_hash,
         ),
     )
 
@@ -814,36 +835,33 @@ def material_amg_device_arrays(setup: AMGMaterialSetup, dtype) -> tuple:
     return (transfers, coarse)
 
 
-def _upload(a, dtype=None):
-    """Tunnel-friendly host->device upload (chunked above ~64 MB)."""
-    from ..utils.transfer import chunked_device_put
-
-    a = np.asarray(a)
-    if dtype is not None and a.dtype != dtype:
-        a = a.astype(dtype)
-    return chunked_device_put(a)
-
-
 def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
-    """Upload the hierarchy as a jit-traceable pytree of device arrays."""
+    """Upload the hierarchy as a jit-traceable pytree of device arrays.
+
+    All arrays ride `packed_device_put` (grouped by dtype, chunked, sliced
+    apart on device): per-array eager uploads cost ~26 ms tunnel dispatch
+    each, ~0.8 s for a 1M-node hierarchy vs ~0.2 s packed."""
+    from ..utils.transfer import packed_device_put
+
+    def _cast(a, dt):
+        a = np.asarray(a)
+        return a.astype(dt) if dt is not None and a.dtype != dt else a
+
+    host: list = []
+    for pc, pv, tc, tv in setup.transfers:
+        host += [_cast(pc, None), _cast(pv, dtype), _cast(tc, None), _cast(tv, dtype)]
+    for ac, av, di in setup.coarse_ops:
+        host += [_cast(ac, None), _cast(av, dtype), _cast(di, dtype)]
+    if setup.coarsest_inv is not None:
+        host.append(_cast(setup.coarsest_inv, dtype))
+
+    dev = packed_device_put(host)
+    it = iter(dev)
     transfers = tuple(
-        (
-            _upload(pc),
-            _upload(pv, dtype),
-            _upload(tc),
-            _upload(tv, dtype),
-        )
-        for pc, pv, tc, tv in setup.transfers
+        (next(it), next(it), next(it), next(it)) for _ in setup.transfers
     )
-    coarse = tuple(
-        (_upload(ac), _upload(av, dtype), _upload(di, dtype))
-        for ac, av, di in setup.coarse_ops
-    )
-    ci = (
-        (_upload(setup.coarsest_inv, dtype),)
-        if setup.coarsest_inv is not None
-        else ()
-    )
+    coarse = tuple((next(it), next(it), next(it)) for _ in setup.coarse_ops)
+    ci = (next(it),) if setup.coarsest_inv is not None else ()
     return (transfers, coarse, ci)
 
 

@@ -542,6 +542,35 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
     )
 
 
+@dataclass
+class OperatorCache:
+    """A persisted compile-time assembly product (persist.save_operator).
+
+    Holds the slot-major flat [n_slots, 4] f64 stiffness values the
+    irregular formats assemble once at compile time, keyed by the
+    INPUT-ORDER mesh identity (fem/amg.mesh_state_hash) + material. A
+    resumed compile that matches skips structure build, renumbering, and
+    the ~1.5 s C++ closed-form assembly: prep becomes one chunked upload.
+    The reference has no analog -- it re-assembles dense K on every run
+    (/root/reference/src/solver.rs:290-331)."""
+
+    mesh_hash: str
+    material: tuple  # (youngs_modulus, poisson_ratio, part_thickness)
+    mode: str  # "dia" | "hybrid" | "ell"
+    offsets: tuple  # band offsets (dia/hybrid); () for ell
+    flat: np.ndarray  # [n_slots, 4] f64 slot-major assembled values
+    cols: Optional[np.ndarray]  # hybrid rem idx [2, R] / ell cols [n, w]
+    perm: Optional[np.ndarray]  # renumbering applied at compile, if any
+
+    def matches(self, mesh_hash: str, metadata) -> bool:
+        mat = (
+            float(metadata.youngs_modulus),
+            float(metadata.poisson_ratio),
+            float(metadata.part_thickness),
+        )
+        return self.mesh_hash == mesh_hash and tuple(self.material) == mat
+
+
 def _assemble_host_flat(mode: str, params, mesh, cols, slot_ids, metadata):
     """Host C++ closed-form assembly, slot-major flat [S, 4] (or None).
 
@@ -609,12 +638,20 @@ def _assemble_host_device(
     Returns device arrays matching `_assembly_core`'s outputs, or None
     when the native library is unavailable.
     """
-    from ..utils.transfer import chunked_device_put
-
     flat = _assemble_host_flat(mode, params, mesh, cols, slot_ids, metadata)
     if flat is None:
         return None
-    n = mesh.num_nodes
+    return _upload_flat_device(
+        mode, params, mesh.num_nodes, cols, flat, upload_dtype
+    )
+
+
+def _upload_flat_device(mode: str, params, n, cols, flat, upload_dtype):
+    """Upload a slot-major flat assembly + relay out on device (see
+    `_assemble_host_device`); also the resume path for a matching
+    persisted OperatorCache."""
+    from ..utils.transfer import chunked_device_put
+
     if flat.dtype != upload_dtype:
         flat = flat.astype(upload_dtype)
     # chunked: one monolithic 656 MB device_put crawls at ~43 MB/s over
@@ -808,6 +845,9 @@ class CompiledProblem:
     # the AMG hierarchy built (or reused) for this problem; persist it with
     # persist.save_amg so re-runs skip the host setup
     amg_setup: object = None
+    # the host-side assembled operator (irregular formats, host C++ path);
+    # persist with persist.save_operator so re-runs skip assembly too
+    operator_host: object = None
 
     def solve_device(self):
         return self.core(*self.args)
@@ -868,6 +908,7 @@ def compile_problem(
     options: SolverOptions = SolverOptions(),
     structure: Optional[EllStructure] = None,
     amg_setup=None,
+    operator_cache: Optional[OperatorCache] = None,
 ) -> CompiledProblem:
     """Select the operator format, build/cache the jitted core, upload args.
 
@@ -877,6 +918,11 @@ def compile_problem(
     mesh + BC mask + material under the same options (renumbering is
     deterministic, so a setup saved from a compiled problem matches the
     re-compiled one); a node-count mismatch triggers a silent rebuild.
+
+    `operator_cache`: a persisted assembled operator for THIS mesh +
+    material (persist.save_operator/load_operator) -- skips structure
+    build, renumbering, and the host C++ assembly; a mismatch (different
+    mesh bytes, BC mask, or material) is warned about and ignored.
     """
     timings: dict = {}
     dtype = default_dtype(options)
@@ -921,12 +967,60 @@ def compile_problem(
                 "mesh connectivity is not grid-local; stencil operator "
                 "unavailable"
             )
+    # Irregular-format path: hash the INPUT-ORDER mesh + BC mask once.
+    # Shared by the operator-cache check, the AMG fingerprint (when no
+    # renumbering intervenes), and the operator cache a later
+    # persist.save_operator writes.
+    perm = None
+    input_mesh_hash = None
+    if mode is None:
+        from .amg import mesh_state_hash
+
+        input_mesh_hash = mesh_state_hash(
+            mesh.coords, mesh.tris, (~bca.u_known).astype(np.float64)
+        )
+    if (
+        mode is None
+        and operator_cache is not None
+        and options.operator in ("auto", operator_cache.mode)
+    ):
+        if operator_cache.matches(input_mesh_hash, metadata):
+            mode = operator_cache.mode
+            if operator_cache.perm is not None:
+                from ..meshing.reorder import apply_permutation
+
+                perm = np.asarray(operator_cache.perm)
+                mesh = apply_permutation(mesh, perm)
+                bca = BCArrays(
+                    u_known=bca.u_known[perm],
+                    u_value=bca.u_value[perm],
+                    f_value=bca.f_value[perm],
+                )
+            if mode == "dia":
+                params = DiaParams(tuple(int(o) for o in operator_cache.offsets))
+            elif mode == "hybrid":
+                params = HybridParams(
+                    tuple(int(o) for o in operator_cache.offsets)
+                )
+                cols = np.asarray(operator_cache.cols, dtype=np.int32)
+            else:  # ell
+                cols = np.asarray(operator_cache.cols, dtype=np.int32)
+            timings["operator_cache"] = "hit"
+        else:
+            from ..utils.logging import log
+
+            log(
+                "warning: provided operator cache does not match this "
+                "problem (mesh bytes, BC mask, or material); re-assembling"
+            )
+            operator_cache = None
+            timings["operator_cache"] = "miss"
+
     # Band-friendly renumbering: a mesh whose native node order misses the
     # DIA band format (arbitrary .msh input, shuffled producers) gets a
     # geometric/RCM renumbering (meshing/reorder.py) before the format
     # choice commits -- results are un-permuted on the way out. Skipped when
     # the caller pinned an ELL structure (its slot_ids encode the ordering).
-    perm = None
     if (
         mode is None
         and options.renumber != "off"
@@ -1070,6 +1164,9 @@ def compile_problem(
         from .amg import setup_matches
 
         t0 = time.perf_counter()
+        # the input-order hash is valid post-renumber only when no
+        # renumbering happened; otherwise the mesh bytes changed
+        amg_hash = input_mesh_hash if perm is None else None
         setup = amg_setup
         if setup is not None and not setup_matches(
             setup,
@@ -1079,6 +1176,7 @@ def compile_problem(
             metadata,
             float(options.amg_cell_factor),
             perm,
+            mesh_hash=amg_hash,
         ):
             from ..utils.logging import log
 
@@ -1097,6 +1195,7 @@ def compile_problem(
                 metadata.part_thickness,
                 (~bca.u_known).astype(np.float64),
                 cell_factor=float(options.amg_cell_factor),
+                mesh_hash=amg_hash,
             )
         # refinement runs the V-cycle only inside the f32 inner solves
         amg_dtype = np.float32 if refine else dtype
@@ -1124,11 +1223,18 @@ def compile_problem(
     upload_dtype = np.dtype(np.float64) if refine else dtype
 
     t0 = time.perf_counter()
+    # slot_ids are an ASSEMBLY input only; every solve core ignores them
+    # (the operator is resident by solve time). A fixed dummy keeps the
+    # core's jit signature identical across fresh and operator-cache
+    # resumed compiles (and skips a ~36 MB upload); the device-assembly
+    # fallback below uploads the real ids just for its own jit.
     args = (
         jnp.asarray(mesh.coords, dtype=upload_dtype),
         jnp.asarray(mesh.tris, dtype=jnp.int32),
         jnp.asarray(cols),
-        jnp.asarray(slot_ids),
+        jnp.zeros(1, dtype=jnp.int32)
+        if mode in ("dia", "hybrid", "ell")
+        else jnp.asarray(slot_ids),
         jnp.asarray(bca.u_known),
         jnp.asarray(bca.u_value, dtype=upload_dtype),
         jnp.asarray(bca.f_value, dtype=upload_dtype),
@@ -1142,19 +1248,46 @@ def compile_problem(
 
     # irregular formats: assemble the operator ONCE at compile time (the
     # refine path's f64 scatter would otherwise dominate every solve call).
-    # Host C++ closed-form assembly + memcpy upload when available; the
-    # device segment_sum otherwise.
+    # A matching persisted OperatorCache skips straight to the upload;
+    # otherwise host C++ closed-form assembly + memcpy upload when
+    # available, the device segment_sum if the native library is not.
     assembled = ()
+    operator_host = None
     if mode in ("dia", "hybrid", "ell"):
         t0 = time.perf_counter()
-        host = _assemble_host_device(
-            mode, params, mesh, cols, slot_ids, metadata, upload_dtype
+        flat_host = (
+            operator_cache.flat
+            if operator_cache is not None and mode == operator_cache.mode
+            else _assemble_host_flat(
+                mode, params, mesh, cols, slot_ids, metadata
+            )
         )
-        if host is not None:
-            assembled = host
+        if flat_host is not None:
+            assembled = _upload_flat_device(
+                mode, params, n, cols, flat_host, upload_dtype
+            )
+            if input_mesh_hash is not None:
+                operator_host = OperatorCache(
+                    mesh_hash=input_mesh_hash,
+                    material=(
+                        float(metadata.youngs_modulus),
+                        float(metadata.poisson_ratio),
+                        float(metadata.part_thickness),
+                    ),
+                    mode=mode,
+                    offsets=tuple(params.offsets)
+                    if params is not None
+                    else (),
+                    flat=np.asarray(flat_host),
+                    cols=np.asarray(cols)
+                    if mode in ("hybrid", "ell")
+                    else None,
+                    perm=perm,
+                )
         else:
             assembled = _assembly_core(spec.mode, spec.params)(
-                args[0], args[1], args[2], args[3], args[7], args[8], args[9]
+                args[0], args[1], args[2], jnp.asarray(slot_ids),
+                args[7], args[8], args[9],
             )
         jax.block_until_ready(assembled)
         timings["assemble_s"] = time.perf_counter() - t0
@@ -1170,4 +1303,5 @@ def compile_problem(
         debug_nans=bool(options.debug_nans),
         perm=perm,
         amg_setup=setup,
+        operator_host=operator_host,
     )

@@ -16,6 +16,8 @@ geometry files.
 
 from __future__ import annotations
 
+import io
+import zipfile
 from typing import Optional
 
 import numpy as np
@@ -27,6 +29,50 @@ from .fem.assembly import EllStructure
 from .meshing.core import Mesh
 
 _FORMAT_VERSION = 1
+
+
+def _write_npz(path: str, data: dict, compressed: bool) -> None:
+    """np.savez through an in-memory buffer, then one raw write.
+
+    numpy's direct-to-file array serialization measures ~40 MB/s on this
+    class of single-core host (vs ~1 GB/s raw writes); staging the whole
+    npz in a BytesIO keeps serialization at memory speed and leaves the
+    disk as the only bottleneck. Matches np.savez's path semantics
+    (appends .npz when missing)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    buf = io.BytesIO()
+    (np.savez_compressed if compressed else np.savez)(buf, **data)
+    with open(path, "wb") as f:
+        f.write(buf.getbuffer())
+
+
+def _read_npz(path: str) -> dict:
+    """Load an npz as {name: array}, bypassing numpy's slow file path.
+
+    Reads the file raw, then maps each member with np.frombuffer on the
+    already-in-memory bytes (np.load's chunked stream path costs ~10x).
+    Returned arrays are READ-ONLY views; every consumer here either
+    uploads them or copies via astype."""
+    from numpy.lib import format as npf
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    out: dict = {}
+    with zipfile.ZipFile(io.BytesIO(raw)) as z:
+        for name in z.namelist():
+            key = name[:-4] if name.endswith(".npy") else name
+            data = z.read(name)
+            bio = io.BytesIO(data)
+            version = npf.read_magic(bio)
+            shape, fortran, dtype = npf._read_array_header(bio, version)
+            if dtype.hasobject or fortran:
+                out[key] = np.load(io.BytesIO(data), allow_pickle=False)
+            else:
+                out[key] = np.frombuffer(
+                    data, dtype=dtype, offset=bio.tell()
+                ).reshape(shape)
+    return out
 
 
 def save_case(
@@ -65,17 +111,91 @@ def save_case(
     if structure is not None:
         data["ell_cols"] = structure.cols
         data["ell_slot_ids"] = structure.slot_ids
-    np.savez_compressed(path, **data)
+    _write_npz(path, data, compressed=True)
 
 
-def save_amg(path: str, setup) -> None:
+def save_amg(path: str, setup, values_dtype="float32") -> None:
     """Persist a fem/amg.AMGSetup (the ~50 s-at-1M host hierarchy build)
     next to its case checkpoint; CLI --save-case does this automatically
-    when the solve used the AMG preconditioner."""
+    when the solve used the AMG preconditioner.
+
+    `values_dtype` (default f32) casts the hierarchy's float arrays on
+    save: halves the file (~150 MB at 1M nodes on a ~90 MB/s disk), and a
+    V-cycle PRECONDITIONER is f32-grade by construction -- the refined
+    solve runs it in f32 anyway, and for plain f64 solves a preconditioner
+    perturbation at 1e-7 costs at most an extra CG iteration, never
+    accuracy. Pass values_dtype=None to keep f64 values. Uncompressed:
+    floats deflate poorly (~35%) but cost seconds to (de)compress on one
+    core; `load_amg` reads either format."""
     from .fem.amg import setup_to_arrays
 
-    np.savez_compressed(
-        path, format_version=np.int64(_FORMAT_VERSION), **setup_to_arrays(setup)
+    data = setup_to_arrays(setup)
+    if values_dtype is not None:
+        vd = np.dtype(values_dtype)
+        data = {
+            k: v.astype(vd)
+            if isinstance(v, np.ndarray) and v.dtype == np.float64
+            else v
+            for k, v in data.items()
+        }
+    _write_npz(
+        path, {"format_version": np.int64(_FORMAT_VERSION), **data},
+        compressed=False,
+    )
+
+
+def save_operator(path: str, problem) -> None:
+    """Persist a CompiledProblem's assembled operator (fem/solve.
+    OperatorCache): the slot-major flat stiffness values plus the format
+    metadata (mode, band offsets, renumbering) keyed by the input-mesh
+    hash. A matching `compile_problem(..., operator_cache=...)` skips
+    structure build, renumbering, and the C++ assembly -- at 1M elements
+    the resumed prep becomes one chunked upload. Uncompressed on purpose:
+    the payload is ~650 MB of f64 that deflates poorly but costs many
+    seconds of one-core (de)compression."""
+    op = getattr(problem, "operator_host", None) or problem
+    if not hasattr(op, "flat"):
+        raise InputError(
+            "problem has no host-assembled operator to save (dense/stencil "
+            "modes and the device-assembly fallback assemble in-solve)"
+        )
+    data = {
+        "format_version": np.int64(_FORMAT_VERSION),
+        "op_mesh_hash": np.asarray(op.mesh_hash),
+        "op_material": np.asarray(op.material, dtype=np.float64),
+        "op_mode": np.asarray(op.mode),
+        "op_offsets": np.asarray(op.offsets, dtype=np.int64),
+        "op_flat": op.flat,
+    }
+    if op.cols is not None:
+        data["op_cols"] = np.asarray(op.cols, dtype=np.int32)
+    if op.perm is not None:
+        data["op_perm"] = np.asarray(op.perm, dtype=np.int64)
+    _write_npz(path, data, compressed=False)
+
+
+def load_operator(path: str):
+    """Load an OperatorCache saved by `save_operator`."""
+    from .fem.solve import OperatorCache
+
+    try:
+        data = _read_npz(path)
+    except Exception as err:
+        raise InputError(f"cannot read operator cache {path}: {err}") from None
+    version = int(data.get("format_version", -1))
+    if version != _FORMAT_VERSION:
+        raise InputError(
+            f"operator cache {path} has format version {version}, "
+            f"expected {_FORMAT_VERSION}"
+        )
+    return OperatorCache(
+        mesh_hash=str(data["op_mesh_hash"]),
+        material=tuple(float(v) for v in data["op_material"]),
+        mode=str(data["op_mode"]),
+        offsets=tuple(int(o) for o in data["op_offsets"]),
+        flat=data["op_flat"],
+        cols=data.get("op_cols"),
+        perm=data.get("op_perm"),
     )
 
 
@@ -84,8 +204,7 @@ def load_amg(path: str):
     from .fem.amg import setup_from_arrays
 
     try:
-        with np.load(path) as z:
-            data = {k: z[k] for k in z.files}
+        data = _read_npz(path)
     except Exception as err:
         raise InputError(f"cannot read AMG cache {path}: {err}") from None
     version = int(data.get("format_version", -1))
@@ -101,8 +220,7 @@ def load_case(
     path: str,
 ) -> tuple[Mesh, BCArrays, Optional[ModelMetadata], Optional[EllStructure]]:
     try:
-        with np.load(path) as z:
-            data = {k: z[k] for k in z.files}
+        data = _read_npz(path)
     except Exception as err:
         raise InputError(f"cannot read case file {path}: {err}") from None
     version = int(data.get("format_version", -1))

@@ -23,5 +23,39 @@ def chunked_device_put(arr: np.ndarray, chunk_bytes: int = _CHUNK_BYTES):
     if arr.nbytes <= chunk_bytes or arr.shape[0] < 2:
         return jax.device_put(arr)
     n_chunks = min(-(-arr.nbytes // chunk_bytes), arr.shape[0])
-    parts = [jax.device_put(p) for p in np.array_split(arr, n_chunks)]
+    parts = jax.device_put(np.array_split(arr, n_chunks))
     return jnp.concatenate(parts, axis=0)
+
+
+def packed_device_put(arrays):
+    """Upload a sequence of host arrays in ONE batched transfer.
+
+    Per-array eager device_put over the tunnel pays ~26 ms dispatch each
+    (a 22-array AMG hierarchy: ~0.8 s in a loop, measured ~1.2 s with a
+    trailing sync). One pytree-batched `jax.device_put([...])` of the same
+    arrays measures ~0.28 s -- the transfers are issued together and
+    pipeline. Arrays above the chunk threshold are split on host so no
+    single transfer hits the large-transfer throughput collapse, then
+    re-joined on device. Returns device arrays in input order.
+    """
+    arrs = [np.ascontiguousarray(a) for a in arrays]
+    parts: list = []
+    plan: list = []  # (n_pieces,) per input
+    for a in arrs:
+        if a.nbytes <= _CHUNK_BYTES or a.shape[0] < 2:
+            plan.append(1)
+            parts.append(a)
+        else:
+            n_chunks = min(-(-a.nbytes // _CHUNK_BYTES), a.shape[0])
+            plan.append(n_chunks)
+            parts.extend(np.array_split(a, n_chunks))
+    devs = jax.device_put(parts)
+    out = []
+    i = 0
+    for n_pieces in plan:
+        if n_pieces == 1:
+            out.append(devs[i])
+        else:
+            out.append(jnp.concatenate(devs[i : i + n_pieces], axis=0))
+        i += n_pieces
+    return out

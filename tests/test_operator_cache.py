@@ -1,0 +1,116 @@
+"""Assembled-operator checkpoint (persist.save_operator/load_operator).
+
+The reference re-assembles the dense global stiffness matrix on every run
+(/root/reference/src/solver.rs:290-331) and deletes every intermediate
+artifact. The rebuild persists the compile-time assembly product keyed by
+the input-mesh hash + material so a resumed compile skips structure build,
+renumbering, and the host C++ assembly entirely.
+"""
+
+import numpy as np
+import pytest
+
+from magnetite_tpu.bc import apply_boundary_conditions
+from magnetite_tpu.config import (
+    BoundaryRegion,
+    ModelMetadata,
+    SolverOptions,
+)
+from magnetite_tpu.errors import InputError
+from magnetite_tpu.fem.solve import compile_problem
+from magnetite_tpu.meshing.delaunay_backend import triangulate
+from magnetite_tpu.persist import load_operator, save_operator
+from tests.conftest import make_rule
+
+E, NU, T = 69e9, 0.33, 0.5
+MD = ModelMetadata(E, NU, T, 0.0, 0.06)
+OPTS = SolverOptions(dtype="float64", cg_rtol=1e-10)
+
+
+@pytest.fixture(scope="module")
+def plate():
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    return triangulate([outer], 0.0, 0.06)
+
+
+def _rules():
+    return (
+        make_rule("left", BoundaryRegion(x_max=1e-6), ux=0.0, uy=0.0),
+        make_rule("right", BoundaryRegion(x_min=3.0 - 1e-6), ux=0.01, fy=0.0),
+    )
+
+
+def test_roundtrip_skips_assembly_and_matches(plate, tmp_path):
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    fresh = compile_problem(plate, bca, MD, OPTS)
+    assert fresh.mode in ("dia", "hybrid", "ell")
+    assert fresh.operator_host is not None
+
+    path = str(tmp_path / "case.op.npz")
+    save_operator(path, fresh)
+    cache = load_operator(path)
+    assert cache.mode == fresh.mode
+    assert cache.mesh_hash == fresh.operator_host.mesh_hash
+
+    resumed = compile_problem(plate, bca, MD, OPTS, operator_cache=cache)
+    assert resumed.timings.get("operator_cache") == "hit"
+    assert resumed.mode == fresh.mode
+
+    r_fresh, r_res = fresh.solve(), resumed.solve()
+    np.testing.assert_allclose(r_res.u, r_fresh.u, rtol=0, atol=1e-12)
+    np.testing.assert_allclose(r_res.stress, r_fresh.stress, rtol=1e-12)
+
+
+def test_material_mismatch_is_ignored_with_rebuild(plate, tmp_path):
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    fresh = compile_problem(plate, bca, MD, OPTS)
+    path = str(tmp_path / "case.op.npz")
+    save_operator(path, fresh)
+    cache = load_operator(path)
+
+    other_md = ModelMetadata(2 * E, NU, T, 0.0, 0.06)
+    resumed = compile_problem(plate, bca, other_md, OPTS, operator_cache=cache)
+    assert resumed.timings.get("operator_cache") == "miss"
+    # a rebuilt operator must still solve the new-material problem correctly
+    ref = compile_problem(plate, bca, other_md, OPTS)
+    np.testing.assert_allclose(resumed.solve().u, ref.solve().u, atol=1e-12)
+
+
+def test_renumbered_mesh_roundtrip_preserves_order(plate, tmp_path):
+    """A shuffled mesh renumbers at compile; the cache stores the perm and
+    a resumed compile reapplies it, reporting results in input order."""
+    from magnetite_tpu.meshing.core import Mesh
+
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(plate.num_nodes)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    shuffled = Mesh(
+        coords=plate.coords[perm],
+        tris=inv[plate.tris.astype(np.int64)].astype(np.int32),
+    )
+    bca = apply_boundary_conditions(shuffled.coords, _rules())
+
+    fresh = compile_problem(shuffled, bca, MD, OPTS)
+    if fresh.operator_host is None:
+        pytest.skip("native assembly unavailable")
+    path = str(tmp_path / "case.op.npz")
+    save_operator(path, fresh)
+    cache = load_operator(path)
+    if fresh.perm is not None:
+        assert cache.perm is not None
+
+    resumed = compile_problem(shuffled, bca, MD, OPTS, operator_cache=cache)
+    assert resumed.timings.get("operator_cache") == "hit"
+    np.testing.assert_allclose(resumed.solve().u, fresh.solve().u, atol=1e-12)
+
+
+def test_save_without_host_operator_is_typed_error(tmp_path):
+    from magnetite_tpu.meshing.generators import rect_mesh
+
+    mesh = rect_mesh(20, 10)  # stencil mode: assembles in-solve
+    bca = apply_boundary_conditions(mesh.coords, _rules())
+    problem = compile_problem(mesh, bca, MD, OPTS)
+    if problem.mode == "stencil":
+        with pytest.raises(InputError):
+            save_operator(str(tmp_path / "x.npz"), problem)
