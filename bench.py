@@ -186,6 +186,20 @@ def bench_unstructured_1m(extras):
     extras["unstructured_assemble_s"] = round(
         problem.timings.get("assemble_s", 0.0), 2
     )
+    # host build vs tunnel upload split: the uploads ride a shared-TPU
+    # tunnel whose bandwidth varies run to run; the host passes don't.
+    extras["unstructured_amg_build_s"] = round(
+        problem.timings.get("amg_build_s", 0.0), 2
+    )
+    extras["unstructured_amg_upload_s"] = round(
+        problem.timings.get("amg_upload_s", 0.0), 2
+    )
+    extras["unstructured_assemble_build_s"] = round(
+        problem.timings.get("assemble_build_s", 0.0), 2
+    )
+    extras["unstructured_assemble_upload_s"] = round(
+        problem.timings.get("assemble_upload_s", 0.0), 2
+    )
 
     t, out = _time_device_solve(problem, repeats=3)
     resnorm = float(np.asarray(out[6]))
@@ -233,6 +247,18 @@ def bench_unstructured_1m(extras):
         )
         extras["unstructured_resumed_prep_s"] = round(
             time.perf_counter() - t0, 2
+        )
+        extras["unstructured_resumed_host_s"] = round(
+            problem_r.timings.get("structure_s", 0.0)
+            + problem_r.timings.get("amg_build_s", 0.0)
+            + problem_r.timings.get("assemble_build_s", 0.0),
+            2,
+        )
+        extras["unstructured_resumed_upload_s"] = round(
+            problem_r.timings.get("upload_s", 0.0)
+            + problem_r.timings.get("amg_upload_s", 0.0)
+            + problem_r.timings.get("assemble_upload_s", 0.0),
+            2,
         )
     t_r, out_r = _time_device_solve(problem_r, repeats=1)
     extras["unstructured_resumed_solve_s"] = round(t_r, 3)

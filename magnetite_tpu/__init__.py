@@ -14,6 +14,12 @@ CG solve -> stress recovery -> matplotlib plot), redesigned for TPU:
     (halo-exchange stencil and banded paths) over a jax.sharding.Mesh
 """
 
+from .utils.hostmem import tune_glibc_malloc as _tune_glibc_malloc
+
+# Large numpy temporaries (meshing, assembly, AMG setup) otherwise pay a
+# kernel mmap/fault/munmap round trip per allocation; see utils/hostmem.py.
+_tune_glibc_malloc()
+
 from .config import (
     BoundaryRegion,
     BoundaryRule,

@@ -1197,10 +1197,17 @@ def compile_problem(
                 cell_factor=float(options.amg_cell_factor),
                 mesh_hash=amg_hash,
             )
+        t_host = time.perf_counter()
         # refinement runs the V-cycle only inside the f32 inner solves
         amg_dtype = np.float32 if refine else dtype
         amg_args = amg_device_arrays(setup, amg_dtype)
-        timings["amg_setup_s"] = time.perf_counter() - t0
+        t_done = time.perf_counter()
+        # split host build from the tunnel-weather-sensitive upload so
+        # bench numbers stay diagnosable (the shared-TPU tunnel's
+        # bandwidth varies run to run; the host build does not)
+        timings["amg_setup_s"] = t_done - t0
+        timings["amg_build_s"] = t_host - t0
+        timings["amg_upload_s"] = t_done - t_host
         timings["amg_levels"] = setup.level_sizes
 
     spec = CoreSpec(
@@ -1262,10 +1269,16 @@ def compile_problem(
                 mode, params, mesh, cols, slot_ids, metadata
             )
         )
+        timings["assemble_build_s"] = time.perf_counter() - t0
         if flat_host is not None:
+            t_up = time.perf_counter()
             assembled = _upload_flat_device(
                 mode, params, n, cols, flat_host, upload_dtype
             )
+            jax.block_until_ready(assembled)
+            # upload timed apart from the host build: the shared-TPU
+            # tunnel's bandwidth varies run to run, the host pass does not
+            timings["assemble_upload_s"] = time.perf_counter() - t_up
             if input_mesh_hash is not None:
                 operator_host = OperatorCache(
                     mesh_hash=input_mesh_hash,

@@ -48,30 +48,51 @@ def _write_npz(path: str, data: dict, compressed: bool) -> None:
 
 
 def _read_npz(path: str) -> dict:
-    """Load an npz as {name: array}, bypassing numpy's slow file path.
+    """Load an npz as {name: array}, zero-copy for uncompressed members.
 
-    Reads the file raw, then maps each member with np.frombuffer on the
-    already-in-memory bytes (np.load's chunked stream path costs ~10x).
-    Returned arrays are READ-ONLY views; every consumer here either
-    uploads them or copies via astype."""
+    The big payloads here (operator cache, AMG hierarchy) are saved
+    STORED (uncompressed) on purpose, so their bytes can become ndarray
+    views over one shared mmap of the file: no up-front read() copy, and
+    pages fault in lazily -- for the 650 MB operator that means the disk
+    read overlaps the chunked device upload instead of preceding it.
+    Deflated members (the compressed case checkpoint) fall back to an
+    in-memory inflate. Returned arrays are READ-ONLY views; every
+    consumer here either uploads them or copies via astype."""
+    import mmap as _mmap
+
     from numpy.lib import format as npf
 
-    with open(path, "rb") as f:
-        raw = f.read()
     out: dict = {}
-    with zipfile.ZipFile(io.BytesIO(raw)) as z:
-        for name in z.namelist():
-            key = name[:-4] if name.endswith(".npy") else name
-            data = z.read(name)
-            bio = io.BytesIO(data)
-            version = npf.read_magic(bio)
-            shape, fortran, dtype = npf._read_array_header(bio, version)
-            if dtype.hasobject or fortran:
-                out[key] = np.load(io.BytesIO(data), allow_pickle=False)
-            else:
-                out[key] = np.frombuffer(
-                    data, dtype=dtype, offset=bio.tell()
-                ).reshape(shape)
+    with open(path, "rb") as f:
+        mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        buf = memoryview(mm)
+        with zipfile.ZipFile(f) as z:
+            for info in z.infolist():
+                name = info.filename
+                key = name[:-4] if name.endswith(".npy") else name
+                if info.compress_type == zipfile.ZIP_STORED:
+                    # Data offset = local header (30 B) + name + extra.
+                    # The central directory's name/extra lengths can
+                    # differ from the local header's, so read the local
+                    # ones (offsets 26/28) straight from the map.
+                    ho = info.header_offset
+                    nlen = int.from_bytes(mm[ho + 26 : ho + 28], "little")
+                    elen = int.from_bytes(mm[ho + 28 : ho + 30], "little")
+                    start = ho + 30 + nlen + elen
+                    data = buf[start : start + info.file_size]
+                else:
+                    data = z.read(name)
+                head = io.BytesIO(bytes(data[:4096]))
+                version = npf.read_magic(head)
+                shape, fortran, dtype = npf._read_array_header(head, version)
+                if dtype.hasobject or fortran:
+                    out[key] = np.load(
+                        io.BytesIO(bytes(data)), allow_pickle=False
+                    )
+                else:
+                    out[key] = np.frombuffer(
+                        data, dtype=dtype, offset=head.tell()
+                    ).reshape(shape)
     return out
 
 
