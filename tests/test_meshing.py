@@ -7,6 +7,7 @@ from magnetite_tpu.errors import InputError, MesherError
 from magnetite_tpu.geometry.geo_writer import build_geo
 from magnetite_tpu.geometry.polygon import (
     min_distance_to_segments,
+    points_in_domain,
     points_in_polygon,
     polygon_signed_area,
 )
@@ -175,3 +176,119 @@ def test_runner_csv_order_outer_first(tmp_path):
     loops = runner.load_geometry([str(outer), str(inner)])
     assert len(loops) == 2
     assert loops[0][2, 0] == 8.0
+
+
+def _full_qhull_reference(loops, h):
+    """The pre-hybrid algorithm: one qhull over ALL points. Ground truth
+    for the hybrid split in delaunay_backend.triangulate."""
+    from scipy.spatial import Delaunay
+
+    from magnetite_tpu.meshing import delaunay_backend as db
+
+    outer, holes = loops[0], list(loops[1:])
+    boundary_pts = np.unique(
+        np.concatenate([db._resample_loop(l, h) for l in loops], axis=0),
+        axis=0,
+    )
+    lattice, ny, nx = db._hex_lattice(outer.min(axis=0), outer.max(axis=0), h)
+    inside = points_in_domain(lattice, outer, holes)
+    clearance = db._clearance_limited(lattice, loops, 1e9)
+    kept = inside & (clearance >= 0.7 * h)
+    points = np.concatenate([boundary_pts, lattice[kept]], axis=0)
+    tris = Delaunay(points).simplices.astype(np.int64)
+    centroids = points[tris].mean(axis=1)
+    tris = tris[points_in_domain(centroids, outer, holes)]
+    areas = np.abs(signed_areas(points, tris))
+    tris = tris[areas > 1e-12 * max(areas.max(), 1.0)]
+    return points, tris
+
+
+@pytest.mark.parametrize(
+    "loops,h",
+    [
+        ([np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 2.0], [0.0, 2.0]])], 0.08),
+        (
+            [
+                np.array([[0.0, 0.0], [4.0, 0.0], [4.0, 2.0], [0.0, 2.0]]),
+                np.array([[1.6, 0.8], [2.4, 0.8], [2.4, 1.2], [1.6, 1.2]]),
+            ],
+            0.06,
+        ),
+        (  # non-axis-aligned pentagon with a triangular hole
+            [
+                np.array(
+                    [[0.0, 0.0], [3.0, -0.4], [4.1, 1.5], [2.0, 2.9], [-0.5, 1.7]]
+                ),
+                np.array([[1.4, 0.9], [2.3, 1.1], [1.8, 1.9]]),
+            ],
+            0.05,
+        ),
+    ],
+)
+def test_hybrid_delaunay_matches_full_qhull(loops, h):
+    """The band-qhull + canonical-interior split must reproduce the
+    full-set Delaunay triangulation exactly (same triangle SET)."""
+    mesh = triangulate(loops, 0.0, h)
+    pts_ref, tris_ref = _full_qhull_reference(loops, h)
+
+    # the hybrid path must actually exercise both sides of the split
+    from magnetite_tpu.meshing import delaunay_backend as db
+
+    clearance = db._clearance_limited(pts_ref, loops, 1e9)
+    assert (clearance >= db._DEEP_CLEARANCE * h).any(), "no deep region"
+
+    # compare as canonical vertex-coordinate triangle sets (node order
+    # differs: the hybrid renumbers by lattice rows)
+    def canon(points, tris):
+        tri_pts = points[tris]  # [T, 3, 2]
+        order = np.lexsort(
+            (tri_pts[:, :, 1], tri_pts[:, :, 0]), axis=1
+        )
+        tri_pts = np.take_along_axis(tri_pts, order[:, :, None], axis=1)
+        flat = tri_pts.reshape(-1, 6).round(decimals=9)
+        return set(map(tuple, flat))
+
+    got = canon(mesh.coords, mesh.tris)
+    want = canon(pts_ref, tris_ref)
+    # exact-set equality up to COCIRCULAR flips: four concyclic points
+    # (boundary row + aligned lattice row form perfect rectangles) make
+    # the Delaunay diagonal ambiguous, and qhull picks by insertion
+    # order. Each differing triangle must still satisfy the Delaunay
+    # empty-circumcircle property against ALL mesh points (tolerance
+    # admits the on-circle 4th point), proving the difference is a
+    # degenerate flip and not a wrong triangle.
+    assert len(got - want) == len(want - got)
+    all_pts = pts_ref
+
+    def assert_delaunay(tri_flat):
+        t = np.array(tri_flat).reshape(3, 2)
+        ax, ay = t[0]
+        bx, by = t[1]
+        cx, cy = t[2]
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        ux = (
+            (ax**2 + ay**2) * (by - cy)
+            + (bx**2 + by**2) * (cy - ay)
+            + (cx**2 + cy**2) * (ay - by)
+        ) / d
+        uy = (
+            (ax**2 + ay**2) * (cx - bx)
+            + (bx**2 + by**2) * (ax - cx)
+            + (cx**2 + cy**2) * (bx - ax)
+        ) / d
+        r = np.hypot(ax - ux, ay - uy)
+        dist = np.hypot(all_pts[:, 0] - ux, all_pts[:, 1] - uy)
+        assert dist.min() >= r - 1e-7 * max(r, 1.0), "non-Delaunay triangle"
+
+    for tri_flat in (got - want) | (want - got):
+        assert_delaunay(tri_flat)
+
+
+def test_hybrid_delaunay_tiny_domain_all_band():
+    """Domains too small for a deep interior fall back to pure qhull."""
+    square = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    mesh = triangulate([square], 0.0, 0.3)  # 3h = 0.9 ~ domain size
+    assert mesh.num_elements > 0
+    assert np.abs(signed_areas(mesh.coords, mesh.tris)).sum() == pytest.approx(
+        1.0, rel=0.05
+    )
