@@ -44,6 +44,21 @@ import numpy as np
 HBM_PEAK_GBPS = 819.0  # TPU v5e (v5 lite) HBM bandwidth
 
 
+def _bench_jax_config():
+    """Shared JAX config for main() and the subprocess phases.
+
+    x64 ON: the refined solves use f64 operators/residuals (hot loops
+    stay f32); the persistent compile cache makes tunnel recompiles
+    bearable."""
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update(
+        "jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache"
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def _sync_scalar(out):
     return float(np.asarray(out[5]))  # iters (tiny transfer forces sync)
 
@@ -169,13 +184,7 @@ def _phase_unstructured():
     mesher -> banded DIA operator + smoothed-aggregation AMG -> f64 CG with
     the f32 V-cycle preconditioner (SolverOptions refine='on'). This is the
     unstructured counterpart of bench_plate_1m's generator-grid solve."""
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-    jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache"
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _bench_jax_config()
 
     extras = {}
     from magnetite_tpu.bc import apply_boundary_conditions
@@ -290,13 +299,7 @@ def _phase_unstructured():
 
 def _phase_unstructured_resumed(case: str):
     """Subprocess body for the checkpoint-resume path; prints ONE JSON line."""
-    import jax
-
-    jax.config.update("jax_enable_x64", True)
-    jax.config.update(
-        "jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache"
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _bench_jax_config()
 
     from magnetite_tpu.config import SolverOptions
     from magnetite_tpu.fem.solve import compile_problem
@@ -696,12 +699,7 @@ def bench_unstructured_material_sweep(extras):
 def main():
     import jax
 
-    # x64 ON: the plate solve uses f64/f32 mixed-precision refinement (the
-    # hot loops stay f32; f64 is the operator/residual precision)
-    jax.config.update("jax_enable_x64", True)
-    # TPU compiles of the multigrid pipeline are expensive; cache them.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _bench_jax_config()
 
     extras = {
         "backend": jax.default_backend(),
@@ -759,14 +757,23 @@ def main():
 if __name__ == "__main__":
     import sys
 
+    def _argval(flag: str) -> str:
+        i = sys.argv.index(flag)
+        if i + 1 >= len(sys.argv):
+            raise SystemExit(f"usage: bench.py {flag} <value>")
+        return sys.argv[i + 1]
+
     if "--phase" in sys.argv:
-        _ph = sys.argv[sys.argv.index("--phase") + 1]
+        _ph = _argval("--phase")
         if _ph == "unstructured":
             _phase_unstructured()
         elif _ph == "unstructured-resumed":
-            _phase_unstructured_resumed(
-                sys.argv[sys.argv.index("--case") + 1]
-            )
+            if "--case" not in sys.argv:
+                raise SystemExit(
+                    "usage: bench.py --phase unstructured-resumed "
+                    "--case <case.npz>"
+                )
+            _phase_unstructured_resumed(_argval("--case"))
         else:
             raise SystemExit(f"unknown bench phase {_ph!r}")
     else:

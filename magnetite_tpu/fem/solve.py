@@ -1201,6 +1201,10 @@ def compile_problem(
         # refinement runs the V-cycle only inside the f32 inner solves
         amg_dtype = np.float32 if refine else dtype
         amg_args = amg_device_arrays(setup, amg_dtype)
+        # sync before the timestamp: packed_device_put leaves its last
+        # group in flight, and an unsynced tail would leak into the
+        # next timing bucket, corrupting the build/upload attribution
+        jax.block_until_ready(amg_args)
         t_done = time.perf_counter()
         # split host build from the tunnel-weather-sensitive upload so
         # bench numbers stay diagnosable (the shared-TPU tunnel's

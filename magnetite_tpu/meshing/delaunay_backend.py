@@ -94,11 +94,9 @@ def _clearance_limited(
             )[0]
             if not m.size:
                 continue
-            seg = np.concatenate([a_c, b_c[-1:]], axis=0)
-            # min_distance_to_segments treats its loop as CLOSED; the
-            # wrap edge b_c[-1] -> a_c[0] is a chord of the real loop,
-            # which could only UNDER-estimate clearance. Compute open
-            # segment distances directly instead.
+            # open-segment distances (polygon.min_distance_to_segments
+            # treats its input as a CLOSED loop; a chunk's wrap edge
+            # would be a chord that under-estimates clearance)
             ab = b_c - a_c  # [V,2]
             ab_len2 = np.maximum((ab**2).sum(axis=1), 1e-300)
             ap = points[m][:, None, :] - a_c[None, :, :]

@@ -28,22 +28,27 @@ import numpy as np
 
 _CHUNK_BYTES = 64 << 20
 _RAMP_MB = (4, 8, 16, 32)
-# below this, an array rides the single batched put with the other smalls
-_SEQUENTIAL_MIN_BYTES = _CHUNK_BYTES
+# above this, an array gets its own synced ascending-piece puts; below,
+# it batches with the other smalls (grouped ascending when the total is
+# large). Kept well under _CHUNK_BYTES so no single cold group put ever
+# starts with a large un-ramped transfer.
+_SEQUENTIAL_MIN_BYTES = 16 << 20
 
 
-def _ascending_parts(arr: np.ndarray) -> list[np.ndarray]:
-    """Split along axis 0 into ramp-head pieces then _CHUNK_BYTES pieces."""
+def _ascending_parts(
+    arr: np.ndarray, tail_bytes: int = _CHUNK_BYTES
+) -> list[np.ndarray]:
+    """Split along axis 0 into ramp-head pieces then `tail_bytes` pieces."""
     row_bytes = max(arr.nbytes // max(arr.shape[0], 1), 1)
     parts = []
     off = 0
     for mb in _RAMP_MB:
         k = max((mb << 20) // row_bytes, 1)
-        if off + k >= arr.shape[0]:
+        if (mb << 20) >= tail_bytes or off + k >= arr.shape[0]:
             break
         parts.append(arr[off : off + k])
         off += k
-    k = max(_CHUNK_BYTES // row_bytes, 1)
+    k = max(tail_bytes // row_bytes, 1)
     while off < arr.shape[0]:
         parts.append(arr[off : off + k])
         off += k
@@ -73,7 +78,9 @@ def chunked_device_put(arr: np.ndarray, chunk_bytes: int = _CHUNK_BYTES):
     arr = np.ascontiguousarray(arr)
     if arr.nbytes <= chunk_bytes or arr.shape[0] < 2:
         return jax.device_put(arr)
-    return jnp.concatenate(_put_ascending(_ascending_parts(arr)), axis=0)
+    return jnp.concatenate(
+        _put_ascending(_ascending_parts(arr, chunk_bytes)), axis=0
+    )
 
 
 def packed_device_put(arrays):
