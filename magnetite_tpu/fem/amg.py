@@ -621,12 +621,28 @@ def build_amg_setup(
         active = diag > 1e-12 * max(float(diag.max()), 1e-300)
         coarsest_inv = np.zeros_like(dense)
         try:
-            coarsest_inv[np.ix_(active, active)] = np.linalg.inv(
-                dense[np.ix_(active, active)]
-            )
-        except np.linalg.LinAlgError:
-            # truly singular active block: fall back to iterative smoothing
-            coarsest_inv = None
+            # SPD block: Cholesky-based inversion (potrf+potri) is ~2x
+            # np.linalg.inv's LU path at the ~1.5k-DOF coarse size
+            from scipy.linalg.lapack import dpotrf, dpotri
+
+            sub = dense[np.ix_(active, active)]
+            chol, rc = dpotrf(sub, lower=1, overwrite_a=0)
+            if rc != 0:
+                raise np.linalg.LinAlgError
+            inv, rc = dpotri(chol, lower=1)
+            if rc != 0:
+                raise np.linalg.LinAlgError
+            # dpotri fills one triangle; mirror it
+            inv = np.tril(inv) + np.tril(inv, -1).T
+            coarsest_inv[np.ix_(active, active)] = inv
+        except (np.linalg.LinAlgError, ImportError):
+            try:
+                coarsest_inv[np.ix_(active, active)] = np.linalg.inv(
+                    dense[np.ix_(active, active)]
+                )
+            except np.linalg.LinAlgError:
+                # truly singular active block: iterative smoothing instead
+                coarsest_inv = None
 
     info["levels"] = level_sizes
     return AMGSetup(
