@@ -292,3 +292,15 @@ def test_hybrid_delaunay_tiny_domain_all_band():
     assert np.abs(signed_areas(mesh.coords, mesh.tris)).sum() == pytest.approx(
         1.0, rel=0.05
     )
+
+
+@pytest.mark.parametrize("nr,nt", [(3, 8), (16, 32), (65, 128)])
+def test_plate_with_hole_ccw_by_construction(nr, nt):
+    """plate_with_hole_mesh skips the runtime normalize_orientation pass
+    (a 0.6 s cost at 4M elements); this pins the CCW-by-construction
+    invariant it relies on."""
+    from magnetite_tpu.meshing.generators import plate_with_hole_mesh
+
+    mesh = plate_with_hole_mesh(nr, nt)
+    areas = signed_areas(mesh.coords, mesh.tris)
+    assert (areas > 0).all()
