@@ -68,8 +68,10 @@ def _hex_lattice(bbox_min, bbox_max, h: float) -> tuple[np.ndarray, int, int]:
 def _clearance_limited(
     points: np.ndarray, loops: list[np.ndarray], cutoff: float
 ) -> np.ndarray:
-    """Min distance from each point to any loop segment, EXACT below
-    `cutoff` and +inf beyond it.
+    """Min distance from each point to any loop segment, EXACT wherever
+    the result is <= `cutoff`; values above the cutoff are loose upper
+    bounds (+inf when outside every chunk's bbox). Callers must only
+    compare the result against thresholds <= cutoff.
 
     The all-pairs kernel (min_distance_to_segments) materializes
     [P, V, 2] -- ~1 s at 1M lattice points even for a 12-segment

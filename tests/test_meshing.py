@@ -304,3 +304,36 @@ def test_plate_with_hole_ccw_by_construction(nr, nt):
     mesh = plate_with_hole_mesh(nr, nt)
     areas = signed_areas(mesh.coords, mesh.tris)
     assert (areas > 0).all()
+
+
+def test_clearance_limited_matches_exact_kernel():
+    """_clearance_limited must equal min-over-loops of the exact
+    closed-loop kernel wherever it reports a finite value, and report
+    +inf only beyond the cutoff."""
+    from magnetite_tpu.meshing.delaunay_backend import _clearance_limited
+
+    rng = np.random.default_rng(7)
+    # irregular star polygon + a triangle hole, 37 segments total
+    ang = np.sort(rng.uniform(0, 2 * np.pi, 34))
+    rad = rng.uniform(1.0, 2.0, 34)
+    star = np.stack([rad * np.cos(ang), rad * np.sin(ang)], axis=-1)
+    tri = np.array([[0.1, 0.0], [0.4, 0.1], [0.2, 0.3]])
+    loops = [star, tri]
+    pts = rng.uniform(-2.2, 2.2, size=(4000, 2))
+    cutoff = 0.35
+
+    got = _clearance_limited(pts, loops, cutoff)
+    exact = np.minimum(
+        min_distance_to_segments(pts, star),
+        min_distance_to_segments(pts, tri),
+    )
+    # contract: exact wherever the result is <= cutoff...
+    below = got <= cutoff
+    np.testing.assert_allclose(got[below], exact[below], rtol=1e-12)
+    assert (exact[below] <= cutoff).all()
+    # ...and everything truly within the cutoff reports its exact value
+    within = exact <= cutoff
+    np.testing.assert_allclose(got[within], exact[within], rtol=1e-12)
+    # above the cutoff: only ever a loose UPPER bound (never too small)
+    above = ~below
+    assert (got[above] >= exact[above] - 1e-12).all()
