@@ -155,6 +155,9 @@ def entry(argv=None) -> None:
         opt_kwargs["operator"] = args.operator
     if args.preconditioner is not None:
         opt_kwargs["preconditioner"] = args.preconditioner
+    # the host copy of the assembled operator (~650 MB at 1M elements)
+    # exists to feed persist.save_operator; skip it unless saving
+    opt_kwargs["keep_operator_host"] = bool(args.save_case)
     options = SolverOptions(**opt_kwargs)
 
     profile_ctx = None
@@ -212,7 +215,14 @@ def entry(argv=None) -> None:
                 # the cache is purely an optimization: never fail the run
                 log(f"warning: ignoring unreadable AMG cache ({err})")
         operator_cache = None
-        if args.load_case and os.path.exists(args.load_case + ".op.npz"):
+        # the sharded pipeline re-assembles shard-local operators, so the
+        # single-chip assembly cache (~650 MB at 1M elements) would be
+        # loaded only to be ignored
+        if (
+            args.load_case
+            and not args.shard
+            and os.path.exists(args.load_case + ".op.npz")
+        ):
             from .errors import InputError
             from .persist import load_operator
 

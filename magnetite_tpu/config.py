@@ -143,6 +143,10 @@ class SolverOptions:
     # Stream an iteration/residual log line every N CG iterations during the
     # solve (reference observer analog, src/solver.rs:40-107). 0 = silent.
     cg_progress_every: int = 0
+    # Keep the host-side assembled operator on CompiledProblem (needed by
+    # persist.save_operator; ~650 MB of f64 at 1M elements). Set False for
+    # long-lived problems that will never be checkpointed.
+    keep_operator_host: bool = True
 
 
 @dataclass(frozen=True)

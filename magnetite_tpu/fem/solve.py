@@ -982,6 +982,20 @@ def compile_problem(
     if (
         mode is None
         and operator_cache is not None
+        and operator_cache.perm is not None
+        and options.renumber == "off"
+    ):
+        from ..utils.logging import log
+
+        log(
+            "warning: operator cache was assembled under a renumbering "
+            "but renumber='off' pins the input order; re-assembling"
+        )
+        operator_cache = None
+        timings["operator_cache"] = "miss"
+    if (
+        mode is None
+        and operator_cache is not None
         and options.operator in ("auto", operator_cache.mode)
     ):
         if operator_cache.matches(input_mesh_hash, metadata):
@@ -1283,7 +1297,7 @@ def compile_problem(
             # upload timed apart from the host build: the shared-TPU
             # tunnel's bandwidth varies run to run, the host pass does not
             timings["assemble_upload_s"] = time.perf_counter() - t_up
-            if input_mesh_hash is not None:
+            if input_mesh_hash is not None and options.keep_operator_host:
                 operator_host = OperatorCache(
                     mesh_hash=input_mesh_hash,
                     material=(

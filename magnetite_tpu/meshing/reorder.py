@@ -189,7 +189,10 @@ def renumber(
         raise ValueError(f"unknown renumber method '{method}'")
 
     best = None
-    tried_rcm = method == "rcm" or (method == "auto" and n <= 200_000)
+    # a pinned method="geometric" must never escalate to RCM (its
+    # level-synchronous host loop is exactly what users pin to avoid);
+    # only "auto" may fall back when geometric stays band-hostile
+    tried_rcm = method != "auto" or n <= 200_000
     while True:
         for perm in candidates:
             m2 = apply_permutation(mesh, perm)

@@ -357,8 +357,14 @@ def rap_blocks(a_keys, a_vals, n, p_keys, p_vals, n_agg):
     p_flat = np.ascontiguousarray(p_vals.reshape(p_vals.shape[0], -1), np.float64)
     cap = 64 * int(n_agg) + 64
     for _ in range(3):
-        out_keys = np.empty(cap, dtype=np.int64)
-        out_vals = np.empty((cap, mc * mc), dtype=np.float64)
+        try:
+            out_keys = np.empty(cap, dtype=np.int64)
+            out_vals = np.empty((cap, mc * mc), dtype=np.float64)
+        except MemoryError:
+            # the 8x-per-retry growth can outrun host RAM on pathological
+            # coarse fill -- fall through to the chunked numpy path
+            # instead of crashing the solve
+            return None
         u = lib.rap_blocks(
             a_keys, a_flat, a_keys.size, m, int(n),
             p_keys, p_flat, p_keys.size, mc, int(n_agg),

@@ -411,6 +411,12 @@ def _compile_sharded(
                 "structured sharded solves use 'multigrid'"
             )
         if precond in ("jacobi", "none"):
+            from ..utils.logging import log
+
+            log(
+                f"warning: sharded stencil solves do not implement "
+                f"preconditioner='{precond}'; using block_jacobi"
+            )
             precond = "block_jacobi"
         if refined:
             run_solver = partial(
@@ -484,6 +490,16 @@ def _compile_sharded(
         prepare_sharded_dia_problem,
         sharded_dia_pcg_solve,
     )
+
+    if options.preconditioner not in ("auto", "amg"):
+        # the single-chip path honors this flag; silently solving with
+        # AMG here would make identical flags mean different solvers
+        raise SolverError(
+            "sharded unstructured solves currently support "
+            "preconditioner='amg' (or 'auto') only; got "
+            f"'{options.preconditioner}' -- drop --shard or the "
+            "preconditioner override"
+        )
 
     t0 = time.perf_counter()
     problem = prepare_sharded_dia_problem(

@@ -1093,6 +1093,37 @@ def material_sweep_solve(
 
 
 # --------------- unstructured AMG lanes (shared hierarchy) ------------------
+
+
+def _banded_mesh_or_raise(mesh, base_bca, max_diags: int, fallback_hint: str):
+    """Band structure for an arbitrary mesh, renumbering when needed.
+
+    Returns (mesh, bca, dia, perm); raises ValueError (with the caller's
+    suggested fallback) when the mesh stays band-hostile. Shared by the
+    unstructured load and material sweep compilers."""
+    from ..fem.dia import build_dia_structure
+    from ..meshing.reorder import renumber as _renumber
+    from ..bc import BCArrays
+
+    n = mesh.num_nodes
+    perm = None
+    bca = base_bca
+    dia = build_dia_structure(mesh.tris, n, max_diags=max_diags)
+    if dia is None:
+        mesh_r, perm_r, _stats = _renumber(mesh)
+        dia = build_dia_structure(mesh_r.tris, n, max_diags=max_diags)
+        if dia is None:
+            raise ValueError(
+                "mesh is band-hostile even after renumbering; use "
+                + fallback_hint
+            )
+        mesh, perm = mesh_r, perm_r
+        bca = BCArrays(
+            u_known=base_bca.u_known[perm],
+            u_value=base_bca.u_value[perm],
+            f_value=base_bca.f_value[perm],
+        )
+    return mesh, bca, dia, perm
 #
 # Fast sweeps on ARBITRARY meshes (delaunay/gmsh -- the reference's real
 # inputs): band-renumber, assemble DIA bands once, and precondition every
@@ -1121,7 +1152,7 @@ def _dia_amg_lanes_core(
     free_sm = free.astype(bands_sm.dtype)[:, :, None]
     k_scales = k_scales.astype(cgt)
 
-    def band_matvec(bk, fb, u):  # UNSCALED K u on [2, N, B] lane fields
+    def band_matvec(bk, u):  # UNSCALED K u on [2, N, B] lane fields
         y0 = jnp.zeros_like(u[0])
         y1 = jnp.zeros_like(u[1])
         for d_idx, off in enumerate(offsets):
@@ -1132,13 +1163,13 @@ def _dia_amg_lanes_core(
         return jnp.stack([y0, y1])
 
     def op_sm(v):  # f32 reduced base operator (the hierarchy's level 0)
-        return free_sm * band_matvec(bands_sm, free_sm, free_sm * v) + (
+        return free_sm * band_matvec(bands_sm, free_sm * v) + (
             1.0 - free_sm
         ) * v
 
     def op(v):  # per-lane CG operator K_b = s_b K
         return (
-            free_b * (band_matvec(bands, free_b, free_b * v) * k_scales)
+            free_b * (band_matvec(bands, free_b * v) * k_scales)
             + (1.0 - free_b) * v
         )
 
@@ -1176,7 +1207,7 @@ def _dia_amg_lanes_core(
         return z * inv_scale
 
     rhs = (
-        free_b * (f_applied - band_matvec(bands, free_b, u_fixed) * k_scales)
+        free_b * (f_applied - band_matvec(bands, u_fixed) * k_scales)
         + (1.0 - free_b) * u_fixed
     )
     result = pcg_fixed_iterations(
@@ -1291,26 +1322,11 @@ def compile_unstructured_sweep(
     band-matvec bandwidth.
     """
     from ..fem.amg import amg_device_arrays, build_amg_setup, setup_matches
-    from ..meshing.reorder import renumber as _renumber
 
     n = mesh.num_nodes
-    perm = None
-    bca = base_bca
-    dia = build_dia_structure(mesh.tris, n, max_diags=max_diags)
-    if dia is None:
-        mesh_r, perm_r, _stats = _renumber(mesh)
-        dia = build_dia_structure(mesh_r.tris, n, max_diags=max_diags)
-        if dia is None:
-            raise ValueError(
-                "mesh is band-hostile even after renumbering; use "
-                "sweep_solve's vmap path"
-            )
-        mesh, perm = mesh_r, perm_r
-        bca = BCArrays(
-            u_known=base_bca.u_known[perm],
-            u_value=base_bca.u_value[perm],
-            f_value=base_bca.f_value[perm],
-        )
+    mesh, bca, dia, perm = _banded_mesh_or_raise(
+        mesh, base_bca, max_diags, "sweep_solve's vmap path"
+    )
 
     free_np = (~bca.u_known).astype(np.float64)
     if amg_setup is None or not setup_matches(
@@ -1728,26 +1744,10 @@ def compile_unstructured_material_sweep(
         build_amg_material_setup,
         material_amg_device_arrays,
     )
-    from ..meshing.reorder import renumber as _renumber
-
     n = mesh.num_nodes
-    perm = None
-    bca = base_bca
-    dia = build_dia_structure(mesh.tris, n, max_diags=max_diags)
-    if dia is None:
-        mesh_r, perm_r, _stats = _renumber(mesh)
-        dia = build_dia_structure(mesh_r.tris, n, max_diags=max_diags)
-        if dia is None:
-            raise ValueError(
-                "mesh is band-hostile even after renumbering; use "
-                "per-variant solve_system"
-            )
-        mesh, perm = mesh_r, perm_r
-        bca = BCArrays(
-            u_known=base_bca.u_known[perm],
-            u_value=base_bca.u_value[perm],
-            f_value=base_bca.f_value[perm],
-        )
+    mesh, bca, dia, perm = _banded_mesh_or_raise(
+        mesh, base_bca, max_diags, "per-variant solve_system"
+    )
 
     if refined is None:
         refined = bool(jax.config.jax_enable_x64) and dtype == np.float32

@@ -114,3 +114,54 @@ def test_save_without_host_operator_is_typed_error(tmp_path):
     if problem.mode == "stencil":
         with pytest.raises(InputError):
             save_operator(str(tmp_path / "x.npz"), problem)
+
+
+def test_renumber_off_rejects_permuted_cache(plate, tmp_path, capsys):
+    """A cache assembled under a renumbering must NOT be applied when the
+    caller pins renumber='off' -- the permutation would silently override
+    the pinned input order."""
+    from dataclasses import replace
+
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    fresh = compile_problem(plate, bca, MD, OPTS)
+    path = str(tmp_path / "case.op.npz")
+    save_operator(path, fresh)
+    cache = load_operator(path)
+
+    # graft a permutation onto the cache (identity keeps it solvable)
+    from magnetite_tpu.fem.solve import OperatorCache
+
+    permuted = OperatorCache(
+        mesh_hash=cache.mesh_hash,
+        material=cache.material,
+        mode=cache.mode,
+        offsets=cache.offsets,
+        flat=cache.flat,
+        cols=cache.cols,
+        perm=np.arange(plate.num_nodes),
+    )
+    resumed = compile_problem(
+        plate, bca, MD,
+        replace(OPTS, renumber="off"),
+        operator_cache=permuted,
+    )
+    assert resumed.timings.get("operator_cache") == "miss"
+    captured = capsys.readouterr()
+    assert "renumber='off'" in captured.out + captured.err
+    r = resumed.solve()
+    r_fresh = fresh.solve()
+    np.testing.assert_allclose(r.u, r_fresh.u, rtol=0, atol=1e-12)
+
+
+def test_keep_operator_host_off_drops_host_copy(plate):
+    from dataclasses import replace
+
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    slim = compile_problem(
+        plate, bca, MD, replace(OPTS, keep_operator_host=False)
+    )
+    assert slim.operator_host is None
+    with pytest.raises(InputError):
+        save_operator("/tmp/should_not_exist.op.npz", slim)
+    full = compile_problem(plate, bca, MD, OPTS)
+    np.testing.assert_allclose(slim.solve().u, full.solve().u, atol=1e-12)

@@ -264,3 +264,24 @@ def test_cli_shard_writes_identical_csvs(tmp_path):
         assert h_p == h_s
         scale = max(np.abs(a_p).max(), 1e-30)
         np.testing.assert_allclose(a_s, a_p, atol=1e-6 * scale)
+
+
+def test_sharded_unstructured_rejects_unsupported_preconditioner(
+    plate, device_mesh
+):
+    """The single-chip path honors preconditioner overrides; the sharded
+    unstructured path must reject what it cannot honor rather than
+    silently solving with AMG."""
+    from dataclasses import replace
+
+    from magnetite_tpu.config import SolverOptions
+    from magnetite_tpu.errors import SolverError
+    from magnetite_tpu.parallel.pipeline import compile_sharded_problem
+
+    bca = _plate_bca(plate)
+    with pytest.raises(SolverError, match="preconditioner"):
+        compile_sharded_problem(
+            plate, bca, MD,
+            SolverOptions(preconditioner="block_jacobi"),
+            device_mesh=device_mesh,
+        )
