@@ -255,9 +255,15 @@ def prepare_sharded_dia_problem(
     amg_setup=None,
     max_diags: int = 64,
     cell_factor: float = 3.0,
+    preconditioner: str = "amg",
 ) -> ShardedDiaProblem:
     """Host prep: band structure (+renumber if needed), device assembly,
-    AMG hierarchy, node-sharded layout."""
+    AMG hierarchy, node-sharded layout.
+
+    preconditioner: "amg" (default) builds/uses the SA hierarchy;
+    "block_jacobi" skips the hierarchy build entirely -- the V-cycle
+    machinery with an empty hierarchy degrades to damped block-Jacobi,
+    so the solve path is identical."""
     from ..fem.amg import build_amg_setup
     from ..fem.dia import assemble_dia_fused, build_dia_structure
 
@@ -393,6 +399,13 @@ def prepare_sharded_dia_problem(
     f = np.zeros((2, np_pad))
     f[:, :n] = bca.f_value.T
 
+    if preconditioner not in ("amg", "block_jacobi"):
+        raise SolverError(
+            "sharded unstructured solves support preconditioner='amg' or "
+            f"'block_jacobi'; got '{preconditioner}'"
+        )
+    if preconditioner == "block_jacobi":
+        amg_setup = None
     if amg_setup is not None:
         from ..fem.amg import setup_matches
 
@@ -413,7 +426,7 @@ def prepare_sharded_dia_problem(
                 "format); rebuilding"
             )
             amg_setup = None
-    if amg_setup is None:
+    if amg_setup is None and preconditioner == "amg":
         amg_setup = build_amg_setup(
             mesh.coords,
             mesh.tris,
@@ -427,7 +440,7 @@ def prepare_sharded_dia_problem(
     # into coarse id 0); the tail of the hierarchy is replicated. Problems
     # small enough that the hierarchy never coarsened degrade to damped
     # block-Jacobi (empty transfer/coarse tuples).
-    if amg_setup.transfers:
+    if amg_setup is not None and amg_setup.transfers:
         pc, pv, _, _ = amg_setup.transfers[0]
         p_cols = np.zeros((np_pad, pc.shape[1]), dtype=pc.dtype)
         p_cols[:n] = pc
@@ -456,15 +469,15 @@ def prepare_sharded_dia_problem(
             put_repl(t[2], int_idx=True),
             put_repl(t[3]),
         )
-        for t in amg_setup.transfers[1:]
+        for t in (amg_setup.transfers[1:] if amg_setup is not None else ())
     )
     coarse = tuple(
         (put_repl(c[0], int_idx=True), put_repl(c[1]), put_repl(c[2]))
-        for c in amg_setup.coarse_ops
+        for c in (amg_setup.coarse_ops if amg_setup is not None else ())
     )
     ci = (
         (jax.device_put(jnp.asarray(amg_setup.coarsest_inv, dtype=dtype), repl),)
-        if amg_setup.coarsest_inv is not None
+        if amg_setup is not None and amg_setup.coarsest_inv is not None
         else ()
     )
     amg_local = (

@@ -491,14 +491,27 @@ def _compile_sharded(
         sharded_dia_pcg_solve,
     )
 
-    if options.preconditioner not in ("auto", "amg"):
-        # the single-chip path honors this flag; silently solving with
-        # AMG here would make identical flags mean different solvers
+    # the single-chip path honors this flag; silently solving with AMG
+    # would make identical flags mean different solvers
+    dia_precond = {
+        "auto": "amg",
+        "amg": "amg",
+        "block_jacobi": "block_jacobi",
+        "jacobi": "block_jacobi",
+    }.get(options.preconditioner)
+    if dia_precond is None:
         raise SolverError(
-            "sharded unstructured solves currently support "
-            "preconditioner='amg' (or 'auto') only; got "
+            "sharded unstructured solves support preconditioner="
+            "'amg'/'block_jacobi' (or 'auto'); got "
             f"'{options.preconditioner}' -- drop --shard or the "
             "preconditioner override"
+        )
+    if options.preconditioner == "jacobi":
+        from ..utils.logging import log
+
+        log(
+            "warning: sharded unstructured solves do not implement "
+            "preconditioner='jacobi'; using block_jacobi"
         )
 
     t0 = time.perf_counter()
@@ -512,9 +525,11 @@ def _compile_sharded(
         amg_setup=amg_setup,
         max_diags=max(int(options.max_diags), 64),
         cell_factor=float(options.amg_cell_factor),
+        preconditioner=dia_precond,
     )
     timings["prepare_s"] = time.perf_counter() - t0
     timings["operator"] = "dia-sharded"
+    timings["preconditioner"] = dia_precond
 
     mesh_r = (
         apply_permutation(mesh, problem.perm)

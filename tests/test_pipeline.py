@@ -272,8 +272,6 @@ def test_sharded_unstructured_rejects_unsupported_preconditioner(
     """The single-chip path honors preconditioner overrides; the sharded
     unstructured path must reject what it cannot honor rather than
     silently solving with AMG."""
-    from dataclasses import replace
-
     from magnetite_tpu.config import SolverOptions
     from magnetite_tpu.errors import SolverError
     from magnetite_tpu.parallel.pipeline import compile_sharded_problem
@@ -282,6 +280,26 @@ def test_sharded_unstructured_rejects_unsupported_preconditioner(
     with pytest.raises(SolverError, match="preconditioner"):
         compile_sharded_problem(
             plate, bca, MD,
-            SolverOptions(preconditioner="block_jacobi"),
+            SolverOptions(preconditioner="none"),
             device_mesh=device_mesh,
         )
+
+
+def test_sharded_unstructured_block_jacobi_matches_single_device(
+    plate, device_mesh
+):
+    """preconditioner='block_jacobi' skips the AMG hierarchy build on the
+    sharded path and still matches the single-device solve."""
+    from magnetite_tpu.config import SolverOptions
+    from magnetite_tpu.fem.solve import solve_system
+    from magnetite_tpu.parallel.pipeline import compile_sharded_problem
+
+    bca = _plate_bca(plate)
+    opts = SolverOptions(preconditioner="block_jacobi", cg_rtol=1e-10)
+    compiled = compile_sharded_problem(
+        plate, bca, MD, opts, device_mesh=device_mesh
+    )
+    assert compiled.problem.amg_setup is None  # hierarchy build skipped
+    res_s = compiled.solve()
+    res_1 = solve_system(plate, bca, MD, opts)
+    _assert_result_parity(res_s, res_1)
