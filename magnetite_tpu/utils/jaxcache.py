@@ -39,6 +39,16 @@ def _default_path() -> str:
 def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
     import jax
 
+    # Some hosts install a sitecustomize that force-registers an
+    # accelerator plugin and OVERRIDES jax_platforms at interpreter
+    # startup, which makes `JAX_PLATFORMS=cpu python example.py`
+    # silently ignore the request (and hang when the accelerator is
+    # unreachable). Restore the env var's intent here: every example and
+    # benchmark funnels through this helper before touching jax.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms and jax.config.jax_platforms != env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
+
     path = os.environ.get("MAGNETITE_JAX_CACHE")
     if path is None:
         path = _default_path()
