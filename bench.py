@@ -332,6 +332,26 @@ def _phase_unstructured_resumed(case: str):
         + problem_r.timings.get("assemble_upload_s", 0.0),
         2,
     )
+    # warm-link datapoint BEFORE any solve (device->host syncs clamp the
+    # tunnel's transfer ramp for the rest of the process): the same resume
+    # with the ramp already grown by the first one -- the capability
+    # floor, vs the cold-link number above which moves with tunnel weather
+    t0 = time.perf_counter()
+    mesh_w, bca_w, md_w, structure_w = load_case(case)
+    problem_w = compile_problem(
+        mesh_w,
+        bca_w,
+        md_w,
+        SolverOptions(dtype="float32", cg_rtol=1e-8, refine="on"),
+        structure=structure_w,
+        amg_setup=load_amg(case + ".amg.npz"),
+        operator_cache=load_operator(case + ".op.npz"),
+    )
+    extras["unstructured_resumed_warm_prep_s"] = round(
+        time.perf_counter() - t0, 2
+    )
+    del problem_w
+
     t_r, out_r = _time_device_solve(problem_r, repeats=1)
     extras["unstructured_resumed_solve_s"] = round(t_r, 3)
     print(json.dumps(extras))
