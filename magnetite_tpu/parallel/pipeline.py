@@ -410,12 +410,12 @@ def _compile_sharded(
                 "amg preconditioner applies to unstructured operators; "
                 "structured sharded solves use 'multigrid'"
             )
-        if precond in ("jacobi", "none"):
+        if precond == "jacobi":
             from ..utils.logging import log
 
             log(
-                f"warning: sharded stencil solves do not implement "
-                f"preconditioner='{precond}'; using block_jacobi"
+                "warning: sharded stencil solves do not implement "
+                "preconditioner='jacobi'; using block_jacobi"
             )
             precond = "block_jacobi"
         if refined:

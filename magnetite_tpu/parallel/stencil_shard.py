@@ -376,6 +376,8 @@ def _local_pcg(
             reduced, diag_inv, coarse_levels, axis=axis, wrap=wrap, rows=rows,
             impl=impl,
         )
+    elif preconditioner == "none":
+        precond = None
     else:
 
         def precond(r):

@@ -303,3 +303,17 @@ def test_sharded_unstructured_block_jacobi_matches_single_device(
     res_s = compiled.solve()
     res_1 = solve_system(plate, bca, MD, opts)
     _assert_result_parity(res_s, res_1)
+
+
+def test_structured_pipeline_preconditioner_none(device_mesh):
+    """preconditioner='none' runs plain (unpreconditioned) sharded CG --
+    the reference's own scheme -- and matches single-device 'none'."""
+    mesh = rect_mesh(48, 24, width=2.0, height=1.0)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    opts = SolverOptions(cg_rtol=1e-10, preconditioner="none")
+    res_1 = solve_system(mesh, bca, MD, opts)
+    problem = compile_sharded_problem(
+        mesh, bca, MD, opts, device_mesh=device_mesh
+    )
+    res_s = problem.solve()
+    _assert_result_parity(res_s, res_1)
