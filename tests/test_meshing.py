@@ -214,6 +214,22 @@ def _full_qhull_reference(loops, h):
             ],
             0.06,
         ),
+        (  # non-convex L-shape: the subset's interior hole is L-shaped
+            # too, so spurious spanning triangles cross a concave region
+            [
+                np.array(
+                    [
+                        [0.0, 0.0],
+                        [3.0, 0.0],
+                        [3.0, 1.2],
+                        [1.2, 1.2],
+                        [1.2, 2.8],
+                        [0.0, 2.8],
+                    ]
+                )
+            ],
+            0.07,
+        ),
         (  # non-axis-aligned pentagon with a triangular hole
             [
                 np.array(
