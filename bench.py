@@ -52,6 +52,12 @@ def _bench_jax_config():
     bearable."""
     import jax
 
+    from magnetite_tpu.utils import backendprobe
+
+    # honor JAX_PLATFORMS (e.g. the main process's CPU fallback when the
+    # TPU tunnel is down, inherited by the --phase subprocesses)
+    backendprobe.apply()
+
     jax.config.update("jax_enable_x64", True)
     jax.config.update(
         "jax_compilation_cache_dir", "/tmp/magnetite_tpu_jax_cache"
@@ -716,15 +722,31 @@ def bench_unstructured_material_sweep(extras):
     extras["unstructured_material_sweep_rel_residual_max"] = float(rel.max())
 
 
+def _ensure_reachable_backend(probe_timeout=180, probes=2):
+    """Probe the backend; fall back to CPU if the tunnel is down.
+
+    See magnetite_tpu.utils.backendprobe: JAX backend init has no timeout,
+    so a down TPU tunnel would hang the whole bench (and the driver that
+    invoked it) forever. The fallback is recorded in the JSON.
+    """
+    from magnetite_tpu.utils.backendprobe import ensure_reachable_backend
+
+    return ensure_reachable_backend(probe_timeout, probes)
+
+
 def main():
+    _, fallback_reason = _ensure_reachable_backend()
+
     import jax
 
-    _bench_jax_config()
+    _bench_jax_config()  # re-applies JAX_PLATFORMS after a CPU fallback
 
     extras = {
         "backend": jax.default_backend(),
         "device": str(jax.devices()[0]),
     }
+    if fallback_reason is not None:
+        extras["backend_fallback_reason"] = fallback_reason
     def attempt(name, fn, *args, retries=2):
         """The axon compile tunnel occasionally drops a connection mid-
         compile; retry once before recording a failure (the persistent
