@@ -260,30 +260,39 @@ def entry(argv=None) -> None:
                     operator_cache=operator_cache,
                 )
             result = problem.solve()
+        # np.savez appends .npz to the CASE path; mirror that here so
+        # `--load-case <case>.npz` finds the siblings at <case>.npz.amg.npz
+        # / .op.npz
+        case_path = (
+            args.save_case
+            if not args.save_case or args.save_case.endswith(".npz")
+            else args.save_case + ".npz"
+        )
+        # `--load-case X --save-case X` is the standard refresh invocation;
+        # when a sibling cache was loaded AND reused unchanged, rewriting
+        # it would re-serialize ~650 MB (at 1M elements) for nothing
+        resumed_same_case = bool(args.load_case) and case_path == args.load_case
         if args.save_case and problem.amg_setup is not None:
-            from .persist import save_amg
+            if resumed_same_case and problem.amg_setup is amg_setup:
+                log("info: AMG hierarchy cache is current; not rewriting")
+            else:
+                from .persist import save_amg
 
-            # np.savez appends .npz to the CASE path; mirror that here so
-            # `--load-case <case>.npz` finds the sibling at <case>.npz.amg.npz
-            case_path = (
-                args.save_case
-                if args.save_case.endswith(".npz")
-                else args.save_case + ".npz"
-            )
-            with stage("save-amg"):
-                save_amg(case_path + ".amg.npz", problem.amg_setup)
-            log(f"info: cached AMG hierarchy to {case_path}.amg.npz")
+                with stage("save-amg"):
+                    save_amg(case_path + ".amg.npz", problem.amg_setup)
+                log(f"info: cached AMG hierarchy to {case_path}.amg.npz")
         if args.save_case and getattr(problem, "operator_host", None) is not None:
-            from .persist import save_operator
+            if (
+                resumed_same_case
+                and problem.timings.get("operator_cache") == "hit"
+            ):
+                log("info: assembled-operator cache is current; not rewriting")
+            else:
+                from .persist import save_operator
 
-            case_path = (
-                args.save_case
-                if args.save_case.endswith(".npz")
-                else args.save_case + ".npz"
-            )
-            with stage("save-operator"):
-                save_operator(case_path + ".op.npz", problem)
-            log(f"info: cached assembled operator to {case_path}.op.npz")
+                with stage("save-operator"):
+                    save_operator(case_path + ".op.npz", problem)
+                log(f"info: cached assembled operator to {case_path}.op.npz")
         log(
             f"info: finished conjugate gradient in {result.iterations} "
             f"iterations (residual {result.residual_norm:.3e})"

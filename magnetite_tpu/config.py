@@ -144,9 +144,12 @@ class SolverOptions:
     # solve (reference observer analog, src/solver.rs:40-107). 0 = silent.
     cg_progress_every: int = 0
     # Keep the host-side assembled operator on CompiledProblem (needed by
-    # persist.save_operator; ~650 MB of f64 at 1M elements). Set False for
-    # long-lived problems that will never be checkpointed.
-    keep_operator_host: bool = True
+    # persist.save_operator; ~650 MB of f64 at 1M elements). Off by default:
+    # a long-lived problem would otherwise pin the full host copy for its
+    # lifetime just in case it gets checkpointed. Set True before compiling
+    # a problem you intend to pass to persist.save_operator (the CLI does
+    # this automatically when --save-case is given).
+    keep_operator_host: bool = False
 
 
 @dataclass(frozen=True)

@@ -544,6 +544,8 @@ def _local_refined(
             reduced32, diag_inv32, coarse32, axis=axis, wrap=wrap, rows=rows,
             impl=impl,
         )
+    elif preconditioner == "none":
+        precond32 = None
     else:
 
         def precond32(r):
@@ -922,6 +924,8 @@ def _local_pcg_2d(
             row_axis=row_axis, col_axis=col_axis, wrap=wrap,
             rows=rows, cols=cols, impl=impl,
         )
+    elif preconditioner == "none":
+        precond = None
     else:
 
         def precond(r):
@@ -1054,6 +1058,8 @@ def _local_refined_2d(
         def precond(r):
             return mg32(r.astype(f32)).astype(r.dtype)
 
+    elif preconditioner == "none":
+        precond = None
     else:
 
         def precond(r):

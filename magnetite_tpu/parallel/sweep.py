@@ -723,10 +723,20 @@ def sweep_solve(
         # arbitrary meshes at scale: block-Jacobi lockstep iteration counts
         # grow O(1/h); the shared-AMG lanes stay mesh-independent. In auto
         # mode the fixed budget is capped (each AMG iteration costs ~5
-        # block-Jacobi ones and ~25 suffice for ~1e-6).
+        # block-Jacobi ones and ~25 suffice for ~1e-6). impl='amg' runs the
+        # caller's budget verbatim.
         amg_iters = (
             iterations if impl == "amg" else min(int(iterations), 40)
         )
+        if amg_iters != iterations:
+            from ..utils.logging import log
+
+            log(
+                "info: sweep auto-selected AMG lanes; translating the "
+                f"iteration budget {iterations} -> {amg_iters} AMG "
+                "iterations (pass impl='amg' to run the budget verbatim; "
+                "check result.residual_norm for per-lane quality)"
+            )
         try:
             compiled = compile_unstructured_sweep(
                 mesh, base_bca, metadata, amg_iters, dtype

@@ -28,7 +28,11 @@ from .errors import InputError
 from .fem.assembly import EllStructure
 from .meshing.core import Mesh
 
-_FORMAT_VERSION = 1
+# v2: amg.setup_fingerprint switched its digest to sha1(mesh_state_hash +
+# material) -- fingerprints stored by v1 files can never match the new
+# digest for the same mesh, so reject v1 with a clear format error instead
+# of a silent (and at 1M nodes, ~50 s) fingerprint-mismatch rebuild.
+_FORMAT_VERSION = 2
 
 
 def _write_npz(path: str, data: dict, compressed: bool) -> None:
@@ -177,8 +181,10 @@ def save_operator(path: str, problem) -> None:
     op = getattr(problem, "operator_host", None) or problem
     if not hasattr(op, "flat"):
         raise InputError(
-            "problem has no host-assembled operator to save (dense/stencil "
-            "modes and the device-assembly fallback assemble in-solve)"
+            "problem has no host-assembled operator to save: compile with "
+            "SolverOptions(keep_operator_host=True) (dense/stencil modes "
+            "and the device-assembly fallback assemble in-solve and never "
+            "have one)"
         )
     data = {
         "format_version": np.int64(_FORMAT_VERSION),

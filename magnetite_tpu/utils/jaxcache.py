@@ -45,9 +45,9 @@ def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
     # silently ignore the request (and hang when the accelerator is
     # unreachable). Restore the env var's intent here: every example and
     # benchmark funnels through this helper before touching jax.
-    env_platforms = os.environ.get("JAX_PLATFORMS")
-    if env_platforms and jax.config.jax_platforms != env_platforms:
-        jax.config.update("jax_platforms", env_platforms)
+    from . import backendprobe
+
+    backendprobe.apply()
 
     path = os.environ.get("MAGNETITE_JAX_CACHE")
     if path is None:

@@ -24,7 +24,9 @@ from tests.conftest import make_rule
 
 E, NU, T = 69e9, 0.33, 0.5
 MD = ModelMetadata(E, NU, T, 0.0, 0.06)
-OPTS = SolverOptions(dtype="float64", cg_rtol=1e-10)
+# keep_operator_host: save_operator needs the host copy (default is off
+# so long-lived problems don't pin ~650 MB at 1M elements)
+OPTS = SolverOptions(dtype="float64", cg_rtol=1e-10, keep_operator_host=True)
 
 
 @pytest.fixture(scope="module")
@@ -161,7 +163,18 @@ def test_keep_operator_host_off_drops_host_copy(plate):
         plate, bca, MD, replace(OPTS, keep_operator_host=False)
     )
     assert slim.operator_host is None
-    with pytest.raises(InputError):
+    with pytest.raises(InputError, match="keep_operator_host"):
         save_operator("/tmp/should_not_exist.op.npz", slim)
     full = compile_problem(plate, bca, MD, OPTS)
     np.testing.assert_allclose(slim.solve().u, full.solve().u, atol=1e-12)
+
+
+def test_keep_operator_host_defaults_off(plate):
+    """The default must NOT pin the host operator copy: a library user
+    holding a CompiledProblem for repeated solves would otherwise carry
+    ~650 MB of dead host memory (at 1M elements) per problem."""
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    problem = compile_problem(
+        plate, bca, MD, SolverOptions(dtype="float64", cg_rtol=1e-10)
+    )
+    assert problem.operator_host is None

@@ -448,3 +448,42 @@ def test_2d_halo_operator_pallas_interpret_parity(metadata, device_mesh_2d):
     want = run("xla")
     scale = np.abs(want).max()
     np.testing.assert_allclose(got, want, atol=1e-6 * scale)
+
+
+def test_refined_and_2d_honor_preconditioner_none(metadata, device_mesh,
+                                                  device_mesh_2d, monkeypatch):
+    """preconditioner='none' must run UNpreconditioned CG on every sharded
+    stencil path (refined 1D, plain 2D, refined 2D) -- not silently fall
+    back to block-Jacobi. _apply_dinv is the only way any stencil-shard
+    preconditioner touches a residual, so poisoning it proves no
+    preconditioner ran (trace-time lookup: the jitted bodies call it while
+    tracing)."""
+    from magnetite_tpu.parallel import stencil_shard as ss
+
+    def _poisoned(diag_inv, r):  # pragma: no cover - must never trace
+        raise AssertionError(
+            "preconditioner ran despite preconditioner='none'"
+        )
+
+    monkeypatch.setattr(ss, "_apply_dinv", _poisoned)
+
+    mesh, bca = _plate_case(23, 16)
+    problem = ss.prepare_sharded_stencil_problem(
+        mesh, bca, metadata, device_mesh, dtype=np.float64
+    )
+    result, _ = ss.sharded_stencil_refined_solve(
+        problem, rtol=1e-8, preconditioner="none", inner_maxiter=4000
+    )
+    assert bool(result.converged)
+
+    problem2d = ss.prepare_sharded_stencil_problem_2d(
+        mesh, bca, metadata, device_mesh_2d, dtype=np.float64
+    )
+    result, _ = ss.sharded_stencil_pcg_solve_2d(
+        problem2d, rtol=1e-8, preconditioner="none", maxiter=8000
+    )
+    assert bool(result.converged)
+    result, _ = ss.sharded_stencil_refined_solve_2d(
+        problem2d, rtol=1e-8, preconditioner="none", maxiter=8000
+    )
+    assert bool(result.converged)
