@@ -72,6 +72,47 @@ def _lane_dot(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.sum(a * b, axis=(0, 1))
 
 
+# Lane sharding over a device mesh. Every lanes-path solve is data-parallel
+# across the batch axis (per-lane dots, broadcast operators, a shared
+# hierarchy): no lane ever reads another lane. Sharding the inputs' batch
+# dim over a jax.sharding.Mesh therefore partitions the WHOLE solve with
+# zero collectives -- XLA propagates the sharding through every [.., B]
+# intermediate -- turning one chip's sweep throughput into n_devices x.
+
+
+def _replicate_tree(device_mesh, tree):
+    """device_put every array leaf fully replicated over the mesh.
+
+    Compiled setup arrays start committed to the default device; mixing
+    single-device and mesh-sharded operands in one jit is an error, so the
+    persistent operands must be explicitly replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(tree, NamedSharding(device_mesh, PartitionSpec()))
+
+
+def _shard_lanes(device_mesh, arr, dtype):
+    """Upload a [B, ...] host batch sharded on its lane axis.
+
+    The lane axis is split over EVERY mesh axis (their product), so both
+    1D and 2D meshes work. B must divide evenly -- lanes are cheap, pad
+    the batch with a repeated variant rather than forcing ragged shards."""
+    import math
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    arr = np.asarray(arr, dtype=dtype)
+    n_dev = math.prod(device_mesh.devices.shape)
+    if arr.shape[0] % n_dev:
+        raise ValueError(
+            f"sweep batch of {arr.shape[0]} lanes does not divide over "
+            f"{n_dev} devices; pad the batch to a multiple (repeating a "
+            "variant is free)"
+        )
+    spec = PartitionSpec(device_mesh.axis_names)
+    return jax.device_put(arr, NamedSharding(device_mesh, spec))
+
+
 def _chunked_lane_vm(u, tris, b_mat, sigma_fn, chunk: int = 512):
     """Per-lane von Mises WITHOUT materializing the full [E, 6, B] gather.
 
@@ -501,15 +542,22 @@ class CompiledSweep:
     wrap: bool
     iterations: int
     dtype: object
+    # lanes shard over this jax.sharding.Mesh (None = single device)
+    device_mesh: object = None
+
+    def _batch(self, arr):
+        if self.device_mesh is not None:
+            return _shard_lanes(self.device_mesh, arr, self.dtype)
+        return jnp.asarray(arr, dtype=self.dtype)
 
     def solve(self, u_values, f_values, k_scales) -> SweepResult:
         u, res, vm, rhs_norm = _stencil_lanes_jit(
             self.setup,
             self.tris,
             self.free_g,
-            jnp.asarray(u_values, dtype=self.dtype),
-            jnp.asarray(f_values, dtype=self.dtype),
-            jnp.asarray(k_scales, dtype=self.dtype),
+            self._batch(u_values),
+            self._batch(f_values),
+            self._batch(k_scales),
             self.rows,
             self.cols,
             self.wrap,
@@ -521,9 +569,14 @@ class CompiledSweep:
 
 
 def compile_sweep(
-    mesh, base_bca, metadata, iterations: int = 20, dtype=np.float32
+    mesh, base_bca, metadata, iterations: int = 20, dtype=np.float32,
+    device_mesh=None,
 ) -> CompiledSweep:
-    """Build a CompiledSweep for a coarsenable canonical-grid mesh."""
+    """Build a CompiledSweep for a coarsenable canonical-grid mesh.
+
+    `device_mesh`: a jax.sharding.Mesh to shard the LANE axis over (pure
+    data parallelism -- each device solves its slice of the variants with
+    the shared replicated hierarchy; no collectives in the solve)."""
     from ..fem.multigrid import can_coarsen
     from ..fem.solve import _grid
 
@@ -547,6 +600,10 @@ def compile_sweep(
         cols,
         wrap,
     )
+    if device_mesh is not None:
+        setup, tris, free_g = _replicate_tree(
+            device_mesh, (setup, tris, free_g)
+        )
     return CompiledSweep(
         setup=jax.block_until_ready(setup),
         tris=tris,
@@ -556,6 +613,7 @@ def compile_sweep(
         wrap=wrap,
         iterations=int(iterations),
         dtype=dtype,
+        device_mesh=device_mesh,
     )
 
 
@@ -1028,6 +1086,13 @@ class CompiledMaterialSweep:
     wrap: bool
     iterations: int
     dtype: object
+    # lanes shard over this jax.sharding.Mesh (None = single device)
+    device_mesh: object = None
+
+    def _batch(self, arr):
+        if self.device_mesh is not None:
+            return _shard_lanes(self.device_mesh, arr, self.dtype)
+        return jnp.asarray(arr, dtype=self.dtype)
 
     def solve(
         self, u_values, f_values, e_moduli, poisson_ratios, thicknesses
@@ -1036,11 +1101,11 @@ class CompiledMaterialSweep:
             self.setup,
             self.tris,
             self.free_g,
-            jnp.asarray(u_values, dtype=self.dtype),
-            jnp.asarray(f_values, dtype=self.dtype),
-            jnp.asarray(e_moduli, dtype=self.dtype),
-            jnp.asarray(poisson_ratios, dtype=self.dtype),
-            jnp.asarray(thicknesses, dtype=self.dtype),
+            self._batch(u_values),
+            self._batch(f_values),
+            self._batch(e_moduli),
+            self._batch(poisson_ratios),
+            self._batch(thicknesses),
             self.rows,
             self.cols,
             self.wrap,
@@ -1052,7 +1117,7 @@ class CompiledMaterialSweep:
 
 
 def compile_material_sweep(
-    mesh, base_bca, iterations: int = 30, dtype=np.float32
+    mesh, base_bca, iterations: int = 30, dtype=np.float32, device_mesh=None
 ) -> CompiledMaterialSweep:
     """Compile a canonical-grid mesh for true material sweeps.
 
@@ -1072,6 +1137,10 @@ def compile_material_sweep(
     tris = jnp.asarray(mesh.tris)
     free_g = _grid(jnp.asarray(~base_bca.u_known, dtype=dtype), rows, cols)
     setup = _material_sweep_setup(coords, tris, free_g, rows, cols, wrap)
+    if device_mesh is not None:
+        setup, tris, free_g = _replicate_tree(
+            device_mesh, (setup, tris, free_g)
+        )
     return CompiledMaterialSweep(
         setup=jax.block_until_ready(setup),
         tris=tris,
@@ -1081,6 +1150,7 @@ def compile_material_sweep(
         wrap=wrap,
         iterations=int(iterations),
         dtype=dtype,
+        device_mesh=device_mesh,
     )
 
 
@@ -1277,6 +1347,13 @@ class CompiledUnstructuredSweep:
     dtype: object
     amg_setup: object
     n_nodes: int
+    # lanes shard over this jax.sharding.Mesh (None = single device)
+    device_mesh: object = None
+
+    def _batch(self, arr):
+        if self.device_mesh is not None:
+            return _shard_lanes(self.device_mesh, arr, self.dtype)
+        return jnp.asarray(arr, dtype=self.dtype)
 
     def solve(self, u_values, f_values, k_scales) -> SweepResult:
         u_values = np.asarray(u_values)
@@ -1292,9 +1369,9 @@ class CompiledUnstructuredSweep:
             self.d_mat,
             self.b_mat,
             self.free,
-            jnp.asarray(u_values, dtype=self.dtype),
-            jnp.asarray(f_values, dtype=self.dtype),
-            jnp.asarray(k_scales, dtype=self.dtype),
+            self._batch(u_values),
+            self._batch(f_values),
+            self._batch(k_scales),
             self.tris,
             self.iterations,
         )
@@ -1317,8 +1394,13 @@ def compile_unstructured_sweep(
     cell_factor: float = 3.0,
     max_diags: int = 96,
     refined=None,
+    device_mesh=None,
 ) -> CompiledUnstructuredSweep:
     """Compile an arbitrary (delaunay/gmsh) mesh for AMG-lane sweeps.
+
+    `device_mesh`: a jax.sharding.Mesh to shard the LANE axis over (pure
+    data parallelism; the DIA bands + AMG hierarchy replicate, each device
+    solves its slice of the variants with no solve-time collectives).
 
     Band-renumbers band-hostile meshes (meshing/reorder.py), assembles the
     DIA operator once, and builds (or validates a provided) AMG hierarchy.
@@ -1405,6 +1487,10 @@ def compile_unstructured_sweep(
     )
     free = jnp.asarray((~bca.u_known).T.astype(sm_dtype))
 
+    if device_mesh is not None:
+        bands, bands_sm, amg, d_mat, b_mat, free, tris = _replicate_tree(
+            device_mesh, (bands, bands_sm, amg, d_mat, b_mat, free, tris)
+        )
     return CompiledUnstructuredSweep(
         bands=jax.block_until_ready(bands),
         bands_sm=bands_sm,
@@ -1419,6 +1505,7 @@ def compile_unstructured_sweep(
         dtype=dtype,
         amg_setup=amg_setup,
         n_nodes=n,
+        device_mesh=device_mesh,
     )
 
 
@@ -1699,6 +1786,13 @@ class CompiledUnstructuredMaterialSweep:
     dtype: object
     material_setup: object
     n_nodes: int
+    # lanes shard over this jax.sharding.Mesh (None = single device)
+    device_mesh: object = None
+
+    def _batch(self, arr):
+        if self.device_mesh is not None:
+            return _shard_lanes(self.device_mesh, arr, self.dtype)
+        return jnp.asarray(arr, dtype=self.dtype)
 
     def solve(
         self, u_values, f_values, e_moduli, poisson_ratios, thicknesses
@@ -1715,11 +1809,11 @@ class CompiledUnstructuredMaterialSweep:
             self.mamg,
             self.b_mat,
             self.free,
-            jnp.asarray(u_values, dtype=self.dtype),
-            jnp.asarray(f_values, dtype=self.dtype),
-            jnp.asarray(e_moduli, dtype=self.dtype),
-            jnp.asarray(poisson_ratios, dtype=self.dtype),
-            jnp.asarray(thicknesses, dtype=self.dtype),
+            self._batch(u_values),
+            self._batch(f_values),
+            self._batch(e_moduli),
+            self._batch(poisson_ratios),
+            self._batch(thicknesses),
             self.tris,
             self.iterations,
         )
@@ -1741,8 +1835,12 @@ def compile_unstructured_material_sweep(
     cell_factor: float = 3.0,
     max_diags: int = 96,
     refined=None,
+    device_mesh=None,
 ) -> CompiledUnstructuredMaterialSweep:
     """Compile an arbitrary mesh for TRUE material sweeps.
+
+    `device_mesh`: a jax.sharding.Mesh to shard the LANE axis over (pure
+    data parallelism; basis bands + basis hierarchy replicate).
 
     Three basis DIA band sets + the basis AMG hierarchy
     (fem/amg.build_amg_material_setup) give every lane the exact V-cycle
@@ -1798,6 +1896,10 @@ def compile_unstructured_material_sweep(
     b_mat = strain_displacement_matrices(ecoords, areas)
     free = jnp.asarray((~bca.u_known).T.astype(sm_dtype))
 
+    if device_mesh is not None:
+        bands3, bands3_sm, mamg, b_mat, free, tris = _replicate_tree(
+            device_mesh, (bands3, bands3_sm, mamg, b_mat, free, tris)
+        )
     return CompiledUnstructuredMaterialSweep(
         bands3=jax.block_until_ready(bands3),
         bands3_sm=bands3_sm,
@@ -1811,4 +1913,5 @@ def compile_unstructured_material_sweep(
         dtype=dtype,
         material_setup=material_setup,
         n_nodes=n,
+        device_mesh=device_mesh,
     )

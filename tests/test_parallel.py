@@ -577,3 +577,144 @@ def test_unstructured_material_sweep_matches_individual_solves(metadata):
             np.abs(result.von_mises[lane] - single.von_mises).max()
             < 2e-4 * scale_vm
         ), lane
+
+
+def _unstructured_sweep_case():
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from magnetite_tpu.config import BoundaryRegion, ModelMetadata
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from tests.conftest import make_rule
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    mesh = triangulate([outer, hole], 0.0, 0.05)
+    rules = (
+        make_rule("left", BoundaryRegion(x_max=1e-6), ux=0.0, uy=0.0),
+        make_rule("right", BoundaryRegion(x_min=3.0 - 1e-6), ux=0.01, fy=0.0),
+    )
+    bca = apply_boundary_conditions(mesh.coords, rules)
+    md = ModelMetadata(69e9, 0.33, 0.5, 0.0, 0.05)
+    return mesh, bca, md
+
+
+def test_sweep_device_mesh_api_shards_and_matches():
+    """compile_sweep(device_mesh=...): plain numpy batches in, the lane
+    axis sharded over the mesh, results matching the single-device
+    compile bit-for-bit (lane math never crosses lanes, so sharding must
+    not change the arithmetic)."""
+    from magnetite_tpu.parallel.sweep import compile_sweep
+
+    mesh = rect_mesh(32, 16, width=2.0)  # grid (17, 33): coarsenable
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    from magnetite_tpu.config import ModelMetadata
+
+    md = ModelMetadata(69e9, 0.33, 0.5, 0.0, 0.1)
+    b = 16
+    rng = np.random.default_rng(5)
+    u_values = np.tile(base.u_value[None], (b, 1, 1))
+    f_values = np.zeros((b, mesh.num_nodes, 2))
+    k_scales = rng.uniform(0.5, 3.0, b)
+
+    plain = compile_sweep(mesh, base, md, iterations=20, dtype=np.float64)
+    res_1 = plain.solve(u_values, f_values, k_scales)
+
+    device_mesh = jax.make_mesh((8,), ("lanes",))
+    sharded = compile_sweep(
+        mesh, base, md, iterations=20, dtype=np.float64,
+        device_mesh=device_mesh,
+    )
+    res_s = sharded.solve(u_values, f_values, k_scales)
+    assert not res_s.u.sharding.is_fully_replicated  # stayed lane-sharded
+    np.testing.assert_allclose(
+        np.asarray(res_s.u), np.asarray(res_1.u), rtol=0, atol=1e-13
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.von_mises), np.asarray(res_1.von_mises), rtol=1e-12
+    )
+
+
+def test_unstructured_sweep_device_mesh_parity():
+    """AMG-lane sweeps shard their batch over a device mesh: replicated
+    bands + hierarchy, lane-sliced variants, no solve-time collectives."""
+    from magnetite_tpu.parallel.sweep import compile_unstructured_sweep
+
+    mesh, bca, md = _unstructured_sweep_case()
+    b = 8
+    rng = np.random.default_rng(7)
+    k_scales = rng.uniform(0.5, 3.0, b)
+    u_values = np.tile(bca.u_value[None], (b, 1, 1))
+    f_values = np.tile(bca.f_value[None], (b, 1, 1))
+
+    plain = compile_unstructured_sweep(
+        mesh, bca, md, iterations=25, dtype=np.float32
+    )
+    res_1 = plain.solve(u_values, f_values, k_scales)
+
+    device_mesh = jax.make_mesh((8,), ("lanes",))
+    sharded = compile_unstructured_sweep(
+        mesh, bca, md, iterations=25, dtype=np.float32,
+        device_mesh=device_mesh, amg_setup=plain.amg_setup,
+    )
+    res_s = sharded.solve(u_values, f_values, k_scales)
+    assert not res_s.u.sharding.is_fully_replicated
+    rel = np.asarray(res_s.residual_norm) / np.asarray(res_s.rhs_norm)
+    assert (rel < 1e-5).all(), rel
+    np.testing.assert_allclose(
+        np.asarray(res_s.u), np.asarray(res_1.u), rtol=0, atol=1e-11
+    )
+
+
+def test_unstructured_material_sweep_device_mesh_parity():
+    from magnetite_tpu.parallel.sweep import (
+        compile_unstructured_material_sweep,
+    )
+
+    mesh, bca, _ = _unstructured_sweep_case()
+    b = 8
+    rng = np.random.default_rng(9)
+    u_values = np.tile(bca.u_value[None], (b, 1, 1)).astype(np.float32)
+    f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
+    e_moduli = rng.uniform(50e9, 200e9, b).astype(np.float32)
+    nus = rng.uniform(0.25, 0.35, b).astype(np.float32)
+    ts = rng.uniform(0.3, 1.0, b).astype(np.float32)
+
+    plain = compile_unstructured_material_sweep(
+        mesh, bca, iterations=30, dtype=np.float32
+    )
+    res_1 = plain.solve(u_values, f_values, e_moduli, nus, ts)
+
+    device_mesh = jax.make_mesh((8,), ("lanes",))
+    sharded = compile_unstructured_material_sweep(
+        mesh, bca, iterations=30, dtype=np.float32, device_mesh=device_mesh
+    )
+    res_s = sharded.solve(u_values, f_values, e_moduli, nus, ts)
+    assert not res_s.u.sharding.is_fully_replicated
+    np.testing.assert_allclose(
+        np.asarray(res_s.u), np.asarray(res_1.u), rtol=0, atol=1e-11
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_s.von_mises),
+        np.asarray(res_1.von_mises),
+        rtol=1e-5,
+    )
+
+
+def test_sweep_device_mesh_rejects_ragged_batch():
+    from magnetite_tpu.parallel.sweep import compile_sweep
+    from magnetite_tpu.config import ModelMetadata
+
+    mesh = rect_mesh(32, 16, width=2.0)
+    base = tensile_bcs_for_rect(mesh.coords, pull=0.01)
+    md = ModelMetadata(69e9, 0.33, 0.5, 0.0, 0.1)
+    device_mesh = jax.make_mesh((8,), ("lanes",))
+    compiled = compile_sweep(
+        mesh, base, md, iterations=5, dtype=np.float64,
+        device_mesh=device_mesh,
+    )
+    b = 12  # not divisible by 8
+    with pytest.raises(ValueError, match="divide"):
+        compiled.solve(
+            np.tile(base.u_value[None], (b, 1, 1)),
+            np.zeros((b, mesh.num_nodes, 2)),
+            np.ones(b),
+        )
