@@ -47,7 +47,10 @@ def _so_current() -> bool:
     except OSError:
         return True  # sources absent (trimmed install): use what exists
     try:
-        return all(so_mtime >= os.path.getmtime(s) for s in sources)
+        # strictly newer: a source edited within the same timestamp granule
+        # as the last build (1 s on some filesystems, or mtime-preserving
+        # copies) must trigger a rebuild, not silently load the stale .so
+        return all(so_mtime > os.path.getmtime(s) for s in sources)
     except OSError:
         return False
 

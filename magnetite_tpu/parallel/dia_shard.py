@@ -127,16 +127,10 @@ def _inv_reduced_diag(d0, free_local):
     """Closed-form inverse of the BC-reduced diagonal blocks.
 
     d0 [2,2,nl] raw diagonal blocks -> [2,2,nl] inverse of
-    free*d0*free + (1-free)*I."""
-    f = free_local
-    d = d0 * (f[:, None, :] * f[None, :, :])
-    d = d.at[0, 0].add(1.0 - f[0])
-    d = d.at[1, 1].add(1.0 - f[1])
-    a_, b_ = d[0, 0], d[0, 1]
-    c_, e_ = d[1, 0], d[1, 1]
-    det = a_ * e_ - b_ * c_
-    det = jnp.where(det == 0, 1.0, det)
-    return jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
+    free*d0*free + (1-free)*I. Shared guard semantics: parallel/blocks."""
+    from .blocks import guarded_inv2, reduce_diag_blocks
+
+    return guarded_inv2(reduce_diag_blocks(d0, free_local))
 
 
 def _jacobi_inverse(bands_local, offsets: tuple, free_local):

@@ -795,9 +795,36 @@ def sweep_solve(
                 "iterations (pass impl='amg' to run the budget verbatim; "
                 "check result.residual_norm for per-lane quality)"
             )
+        # Auto must not OOM where the old f32 block-Jacobi lanes fit:
+        # refined mode (f64 CG over the f32 V-cycle, the default under
+        # x64) DOUBLES the [2, N, B] lane-state footprint. Estimate it
+        # (~8 live state vectors) against the device's memory and drop
+        # to f32 CG when it would not fit; explicit impl='amg' keeps the
+        # library default (pass refined= to compile_unstructured_sweep
+        # for full control).
+        refined = None
+        if impl == "auto" and dtype == np.float32:
+            b_lanes = int(np.asarray(u_values).shape[0])
+            est_f64 = 8 * 2 * mesh.num_nodes * max(b_lanes, 1) * 8
+            budget = None
+            try:
+                stats = jax.devices()[0].memory_stats()
+                budget = (stats or {}).get("bytes_limit")
+            except Exception:
+                pass
+            if budget and est_f64 > 0.6 * int(budget):
+                refined = False
+                from ..utils.logging import log
+
+                log(
+                    "info: sweep AMG lanes: f64 refined CG state "
+                    f"(~{est_f64 / 1e9:.1f} GB for {b_lanes} lanes) "
+                    "exceeds the device memory budget; running f32 CG "
+                    "(residuals floor near the f32 wall ~6e-6 relative)"
+                )
         try:
             compiled = compile_unstructured_sweep(
-                mesh, base_bca, metadata, amg_iters, dtype
+                mesh, base_bca, metadata, amg_iters, dtype, refined=refined
             )
             return compiled.solve(u_values, f_values, k_scales)
         except ValueError:
@@ -1254,19 +1281,12 @@ def _dia_amg_lanes_core(
         )
 
     # unscaled reduced block-Jacobi inverse (f32): the level-0 smoother
+    # (shared BC-reduction + degenerate-block guard: parallel/blocks)
+    from .blocks import guarded_inv2, reduce_diag_blocks
+
     zero_idx = offsets.index(0)
-    diag = bands_sm[zero_idx]
-    f0, f1 = free_sm[0, :, 0], free_sm[1, :, 0]
-    outer = free_sm[:, None, :, 0] * free_sm[None, :, :, 0]
-    d = diag * outer
-    d = d.at[0, 0].add(1.0 - f0)
-    d = d.at[1, 1].add(1.0 - f1)
-    a_, b_ = d[0, 0], d[0, 1]
-    c_, e_ = d[1, 0], d[1, 1]
-    det = a_ * e_ - b_ * c_
-    det = jnp.where(det == 0, 1.0, det)
-    inv = jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
-    inv_b = inv[:, :, :, None]
+    d = reduce_diag_blocks(bands_sm[zero_idx], free_sm[:, :, 0])
+    inv_b = guarded_inv2(d)[:, :, :, None]
 
     def jac0(r):
         p0 = inv_b[0, 0] * r[0] + inv_b[0, 1] * r[1]
@@ -1571,15 +1591,8 @@ def _lane_weighted_band_matvec(bands3, offsets, wa, wb, wc, u):
     return jnp.stack([y0, y1])
 
 
-def _lane_inv2_apply(d, r):
-    """Per-lane 2x2 solve: d [2,2,N,B], r [2,N,B] -> d^-1 r (guarded)."""
-    a_, b_ = d[0, 0], d[0, 1]
-    c_, e_ = d[1, 0], d[1, 1]
-    det = a_ * e_ - b_ * c_
-    det = jnp.where(det == 0, jnp.ones_like(det), det)
-    x0 = (e_ * r[0] - b_ * r[1]) / det
-    x1 = (-c_ * r[0] + a_ * r[1]) / det
-    return jnp.stack([x0, x1])
+# per-lane guarded 2x2 solve lives in parallel/blocks (shared with the
+# node-sharded DIA path so the degenerate-block guard never diverges)
 
 
 def _lane_inv3_apply(d, r):
@@ -1696,23 +1709,19 @@ def _material_dia_amg_lanes_core(
 
     # level-0 per-lane reduced diag inverse (f32): basis diagonals combined
     # by lane weights, BC-reduced, 2x2 Cramer per (node, lane)
+    from .blocks import reduce_diag_blocks, solve2
+
     zero_idx = offsets.index(0)
     d3 = tuple(b[zero_idx] for b in bands3_sm)  # 3 x [2, 2, N]
-    outer = (free_sm[:, None, :, 0] * free_sm[None, :, :, 0])[
-        :, :, :, None
-    ]  # [2,2,N,1]
-    dd = (
+    dd = reduce_diag_blocks(
         d3[0][:, :, :, None] * wa32
         + d3[1][:, :, :, None] * wb32
-        + d3[2][:, :, :, None] * wc32
-    ) * outer
-    fixed0 = (1.0 - free_sm[0])[None]
-    fixed1 = (1.0 - free_sm[1])[None]
-    dd = dd.at[0, 0].add(fixed0[0])
-    dd = dd.at[1, 1].add(fixed1[0])
+        + d3[2][:, :, :, None] * wc32,
+        free_sm,  # [2, N, 1] broadcasts over the lane axis
+    )
 
     def jac0(r):
-        return _lane_inv2_apply(dd, r)
+        return solve2(dd, r)
 
     vcycle = _material_amg_vcycle(mamg, op_sm, jac0, wa32, wb32, wc32)
 

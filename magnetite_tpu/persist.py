@@ -30,25 +30,47 @@ from .meshing.core import Mesh
 
 # v2: amg.setup_fingerprint switched its digest to sha1(mesh_state_hash +
 # material) -- fingerprints stored by v1 files can never match the new
-# digest for the same mesh, so reject v1 with a clear format error instead
-# of a silent (and at 1M nodes, ~50 s) fingerprint-mismatch rebuild.
+# digest for the same mesh. Only the AMG cache carries a fingerprint, so
+# only it rejects v1 (a clear format error instead of a silent -- and at
+# 1M nodes, ~50 s -- fingerprint-mismatch rebuild). Case checkpoints and
+# operator caches kept their v1 schema and stay loadable: cases carry no
+# hash at all, and the operator cache re-validates itself against the
+# CURRENT mesh hash on load (a stale one is a cheap, explicit miss).
 _FORMAT_VERSION = 2
+_MIN_VERSION = {"case": 1, "operator": 1, "amg": 2}
+
+
+def _check_version(data: dict, kind: str, path: str) -> None:
+    version = int(data.get("format_version", -1))
+    if not _MIN_VERSION[kind] <= version <= _FORMAT_VERSION:
+        raise InputError(
+            f"{kind} file {path} has format version {version}, "
+            f"expected {_MIN_VERSION[kind]}..{_FORMAT_VERSION}"
+        )
 
 
 def _write_npz(path: str, data: dict, compressed: bool) -> None:
-    """np.savez through an in-memory buffer, then one raw write.
+    """Stream each member straight into the zip, no whole-file staging.
 
-    numpy's direct-to-file array serialization measures ~40 MB/s on this
-    class of single-core host (vs ~1 GB/s raw writes); staging the whole
-    npz in a BytesIO keeps serialization at memory speed and leaves the
-    disk as the only bottleneck. Matches np.savez's path semantics
+    np.savez's direct-to-file path measures ~40 MB/s on this class of
+    single-core host; staging the whole npz in a BytesIO fixed the speed
+    but transiently DOUBLED host RAM for the ~650 MB operator cache --
+    exactly the allocation-sensitive moment on a 1-core box. Writing each
+    array through `ZipFile.open(..., "w")` keeps numpy's serialization in
+    ~16 MB buffered chunks (numpy.lib.format.write_array's non-file-object
+    path), so peak extra memory is one chunk while throughput stays
+    CRC32/disk-bound (~1 GB/s class). Matches np.savez's path semantics
     (appends .npz when missing)."""
+    from numpy.lib import format as npf
+
     if not path.endswith(".npz"):
         path = path + ".npz"
-    buf = io.BytesIO()
-    (np.savez_compressed if compressed else np.savez)(buf, **data)
-    with open(path, "wb") as f:
-        f.write(buf.getbuffer())
+    comp = zipfile.ZIP_DEFLATED if compressed else zipfile.ZIP_STORED
+    with zipfile.ZipFile(path, "w", compression=comp, allowZip64=True) as z:
+        for key, val in data.items():
+            arr = np.asarray(val)
+            with z.open(key + ".npy", "w", force_zip64=True) as f:
+                npf.write_array(f, arr, allow_pickle=False)
 
 
 def _read_npz(path: str) -> dict:
@@ -209,12 +231,7 @@ def load_operator(path: str):
         data = _read_npz(path)
     except Exception as err:
         raise InputError(f"cannot read operator cache {path}: {err}") from None
-    version = int(data.get("format_version", -1))
-    if version != _FORMAT_VERSION:
-        raise InputError(
-            f"operator cache {path} has format version {version}, "
-            f"expected {_FORMAT_VERSION}"
-        )
+    _check_version(data, "operator", path)
     return OperatorCache(
         mesh_hash=str(data["op_mesh_hash"]),
         material=tuple(float(v) for v in data["op_material"]),
@@ -234,12 +251,7 @@ def load_amg(path: str):
         data = _read_npz(path)
     except Exception as err:
         raise InputError(f"cannot read AMG cache {path}: {err}") from None
-    version = int(data.get("format_version", -1))
-    if version != _FORMAT_VERSION:
-        raise InputError(
-            f"AMG cache {path} has format version {version}, "
-            f"expected {_FORMAT_VERSION}"
-        )
+    _check_version(data, "amg", path)
     return setup_from_arrays(data)
 
 
@@ -250,12 +262,7 @@ def load_case(
         data = _read_npz(path)
     except Exception as err:
         raise InputError(f"cannot read case file {path}: {err}") from None
-    version = int(data.get("format_version", -1))
-    if version != _FORMAT_VERSION:
-        raise InputError(
-            f"case file {path} has format version {version}, "
-            f"expected {_FORMAT_VERSION}"
-        )
+    _check_version(data, "case", path)
     gs = data["grid_shape"]
     mesh = Mesh(
         coords=data["coords"],

@@ -14,7 +14,9 @@ Raising M_MMAP_THRESHOLD keeps big blocks on the main heap and raising
 M_TRIM_THRESHOLD stops the heap top from being returned to the OS, so
 freed pages stay faulted-in and later temporaries reuse them. The cost is
 a process RSS that stays at its high-water mark — the right trade for a
-batch solver.
+batch solver, but NOT necessarily for a long-lived process that embeds
+this package for occasional solves: set MAGNETITE_NO_MALLOC_TUNE=1 to
+leave the allocator alone (mirrors MAGNETITE_NO_NATIVE).
 
 Called once at package import (see magnetite_tpu/__init__.py). No-op on
 non-Linux or non-glibc systems.
@@ -22,6 +24,7 @@ non-Linux or non-glibc systems.
 
 from __future__ import annotations
 
+import os
 import sys
 
 _M_TRIM_THRESHOLD = -1
@@ -32,6 +35,8 @@ def tune_glibc_malloc(threshold_bytes: int = 1 << 30) -> bool:
     """Raise glibc's mmap/trim thresholds. Returns True when applied.
 
     `threshold_bytes` must fit a C int (mallopt's parameter type)."""
+    if os.environ.get("MAGNETITE_NO_MALLOC_TUNE") == "1":
+        return False
     if not sys.platform.startswith("linux"):
         return False
     try:

@@ -39,3 +39,10 @@ def test_tune_is_idempotent_and_restorable():
 def test_non_linux_returns_false(monkeypatch):
     monkeypatch.setattr(sys, "platform", "darwin")
     assert tune_glibc_malloc() is False
+
+
+def test_env_gate_disables_tuning(monkeypatch):
+    """MAGNETITE_NO_MALLOC_TUNE=1 leaves the process allocator alone --
+    the high-water-mark RSS trade is wrong for long-lived embedders."""
+    monkeypatch.setenv("MAGNETITE_NO_MALLOC_TUNE", "1")
+    assert tune_glibc_malloc() is False

@@ -54,6 +54,49 @@ def test_bad_file_is_typed_error(tmp_path):
         load_case(str(path))
 
 
+def _rewrite_version(path: str, version: int) -> None:
+    import magnetite_tpu.persist as persist
+
+    data = dict(persist._read_npz(path))
+    data["format_version"] = np.int64(version)
+    data = {k: np.asarray(v) for k, v in data.items()}
+    persist._write_npz(path, data, compressed=False)
+
+
+def test_v1_case_file_still_loads(tmp_path):
+    """The case schema is unchanged since format v1; a version bump for
+    AMG-fingerprint semantics must not reject old case checkpoints."""
+    mesh, bca = _case()
+    path = str(tmp_path / "case.npz")
+    save_case(path, mesh, bca)
+    _rewrite_version(path, 1)
+    m2, b2, _, _ = load_case(path)
+    np.testing.assert_array_equal(m2.coords, mesh.coords)
+    np.testing.assert_array_equal(b2.u_known, bca.u_known)
+
+
+def test_v1_amg_cache_rejected_future_case_rejected(tmp_path):
+    """v1 AMG fingerprints can never match the v2 digest -> clear error;
+    a FUTURE format version is rejected for every kind."""
+    from magnetite_tpu.persist import load_amg
+
+    path = str(tmp_path / "case.amg.npz")
+    import magnetite_tpu.persist as persist
+
+    persist._write_npz(
+        path, {"format_version": np.int64(1)}, compressed=False
+    )
+    with pytest.raises(InputError, match="format version 1"):
+        load_amg(path)
+
+    mesh, bca = _case()
+    cpath = str(tmp_path / "case.npz")
+    save_case(cpath, mesh, bca)
+    _rewrite_version(cpath, 99)
+    with pytest.raises(InputError, match="format version 99"):
+        load_case(cpath)
+
+
 def _cli_env():
     import os
 
