@@ -102,6 +102,14 @@ class SolverOptions:
     # Aggregate diameter in median-edge-lengths (~cell_factor^2 nodes per
     # aggregate); 3.0 is the standard SA sweet spot.
     amg_cell_factor: float = 3.0
+    # Pre/post smoothing sweeps per AMG V-cycle level. 0 = auto: V(3,3)
+    # under mixed-precision refinement -- there the f32 V-cycle
+    # preconditions f64 CG whose emulated-f64 band matvec costs ~15x a
+    # f32 matvec, so extra cheap f32 sweeps that cut the expensive f64
+    # iteration count (19 -> 12 at 23k nodes, measured) are a net win --
+    # and V(1,1) everywhere else (same-precision V-cycles pay full price
+    # per sweep, where fewer iterations no longer cover the added cost).
+    amg_sweeps: int = 0
     # Scalar-stress sign threshold. The reference flips the sign when
     # sigma_x + sigma_y < 1.0 (src/solver.rs:524-530) -- a quirk we keep as
     # the default for output parity; set to 0.0 for the physical rule.

@@ -121,6 +121,7 @@ class CoreSpec(NamedTuple):
     refine_max_outer: int = 8
     history: int = 0  # record ||r|| for the first N CG iterations
     progress_every: int = 0  # stream a log line every N CG iterations
+    amg_sweeps: int = 0  # V-cycle pre/post sweeps; 0 = auto (see config.py)
 
 
 # ----------------------------- mode cores ----------------------------------
@@ -128,6 +129,16 @@ class CoreSpec(NamedTuple):
 
 def _observe_kwargs(spec: "CoreSpec") -> dict:
     return dict(history=spec.history, progress_every=spec.progress_every)
+
+
+def _amg_sweep_kwargs(spec: "CoreSpec") -> dict:
+    """Effective V-cycle smoothing schedule (SolverOptions.amg_sweeps).
+
+    Auto picks V(3,3) when the V-cycle runs in f32 under refined f64 CG
+    (extra cheap f32 sweeps cut the expensive emulated-f64 iteration
+    count) and V(1,1) for same-precision V-cycles."""
+    s = spec.amg_sweeps if spec.amg_sweeps > 0 else (3 if spec.refine else 1)
+    return dict(pre_sweeps=s, post_sweeps=s)
 
 
 def _grid(a, rows, cols):
@@ -368,7 +379,9 @@ def _solve_hybrid(
         if spec.preconditioner == "amg" and not spec.refine:
             from .amg import make_amg_preconditioner
 
-            precond = make_amg_preconditioner(amg, op, precond, layout="t")
+            precond = make_amg_preconditioner(
+                amg, op, precond, layout="t", **_amg_sweep_kwargs(spec)
+            )
     op32 = precond32 = None
     if spec.refine:
         f32 = jnp.float32
@@ -379,7 +392,9 @@ def _solve_hybrid(
         if spec.preconditioner == "amg":
             from .amg import make_amg_preconditioner
 
-            precond32 = make_amg_preconditioner(amg, op32, precond32, layout="t")
+            precond32 = make_amg_preconditioner(
+                amg, op32, precond32, layout="t", **_amg_sweep_kwargs(spec)
+            )
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
         spec, op, precond, b, u_fixed_t, op32, precond32
@@ -425,7 +440,9 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
         if spec.preconditioner == "amg" and not spec.refine:
             from .amg import make_amg_preconditioner
 
-            precond = make_amg_preconditioner(amg, op, precond, layout="t")
+            precond = make_amg_preconditioner(
+                amg, op, precond, layout="t", **_amg_sweep_kwargs(spec)
+            )
     op32 = precond32 = None
     if spec.refine:
         f32 = jnp.float32
@@ -438,7 +455,9 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
         if spec.preconditioner == "amg":
             from .amg import make_amg_preconditioner
 
-            precond32 = make_amg_preconditioner(amg, op32, precond32, layout="t")
+            precond32 = make_amg_preconditioner(
+                amg, op32, precond32, layout="t", **_amg_sweep_kwargs(spec)
+            )
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
         spec, op, precond, b, u_fixed_t, op32, precond32
@@ -485,7 +504,9 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
         from .amg import make_amg_preconditioner
 
         bj = block_jacobi_preconditioner(diag_blocks, free)
-        precond = make_amg_preconditioner(amg, op, bj, layout="n")
+        precond = make_amg_preconditioner(
+            amg, op, bj, layout="n", **_amg_sweep_kwargs(spec)
+        )
     else:
         precond = _make_preconditioner(
             "block_jacobi" if spec.preconditioner == "amg" else spec.preconditioner,
@@ -504,7 +525,9 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
             from .amg import make_amg_preconditioner
 
             bj32 = block_jacobi_preconditioner(diag_blocks.astype(f32), free32)
-            precond32 = make_amg_preconditioner(amg, op32, bj32, layout="n")
+            precond32 = make_amg_preconditioner(
+                amg, op32, bj32, layout="n", **_amg_sweep_kwargs(spec)
+            )
         else:
             precond32 = _make_preconditioner(
                 spec.preconditioner, diag_blocks.astype(f32), free32
@@ -1241,6 +1264,7 @@ def compile_problem(
         refine_max_outer=int(options.refine_max_outer),
         history=int(options.residual_history),
         progress_every=int(options.cg_progress_every),
+        amg_sweeps=int(options.amg_sweeps),
     )
     core = _jitted_core(spec)
 

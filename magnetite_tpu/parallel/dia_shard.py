@@ -551,8 +551,17 @@ def _local_dia_solve(
         lambda a: a.astype(f32) if jnp.issubdtype(a.dtype, jnp.floating) else a,
         amg_local,
     )
+    # refined solves (f64 bands): extra cheap f32 V-cycle sweeps cut the
+    # expensive emulated-f64 CG iteration count -- V(3,3), matching
+    # fem/solve._amg_sweep_kwargs. Same-precision f32 solves keep V(1,1).
+    sweeps = 3 if bands.dtype == jnp.float64 else 1
     vcycle32 = make_sharded_amg_preconditioner(
-        amg32, op32, lambda r: _apply_2x2(jac32, r), axis
+        amg32,
+        op32,
+        lambda r: _apply_2x2(jac32, r),
+        axis,
+        pre_sweeps=sweeps,
+        post_sweeps=sweeps,
     )
 
     def dot(a, b):

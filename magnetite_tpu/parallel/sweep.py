@@ -1297,7 +1297,13 @@ def _dia_amg_lanes_core(
     # V((s K))^-1 = (1/s) V(K)^-1 on free DOFs, identity on fixed). Under
     # mixed precision the residual is normalized per lane before the f32
     # cast (linearity makes the rescale exact; mirrors fem/solve.py).
-    vcycle = make_amg_preconditioner(amg, op_sm, jac0, layout="tl")
+    # refined lanes (f64 CG): V(3,3) -- extra cheap f32 sweeps cut the
+    # expensive emulated-f64 iteration count (fem/solve._amg_sweep_kwargs
+    # rationale); pure-f32 lanes keep V(1,1)
+    sweeps = 3 if cgt == jnp.float64 else 1
+    vcycle = make_amg_preconditioner(
+        amg, op_sm, jac0, layout="tl", pre_sweeps=sweeps, post_sweeps=sweeps
+    )
     inv_scale = free_b / k_scales + (1.0 - free_b)
 
     def precond(r):
@@ -1625,9 +1631,20 @@ def _lane_inv3_apply(d, r):
 
 
 def _material_amg_vcycle(
-    mamg, op0, jac0, wa, wb, wc, *, omega0=0.7, omega=0.7, coarse_sweeps=24
+    mamg,
+    op0,
+    jac0,
+    wa,
+    wb,
+    wc,
+    *,
+    omega0=0.7,
+    omega=0.7,
+    coarse_sweeps=24,
+    pre_sweeps=1,
+    post_sweeps=1,
 ):
-    """V(1,1)-cycle over the basis hierarchy, exact per lane.
+    """V(pre,post)-cycle over the basis hierarchy, exact per lane.
 
     mamg: pytree from fem.amg.material_amg_device_arrays. op0/jac0: the
     lane-weighted level-0 operator and diag-inverse apply in the [2, N, B]
@@ -1661,23 +1678,31 @@ def _material_amg_vcycle(
                 e = e + omega * dinv(l, r - mv(l, e))
             return e
         e = omega * dinv(l, r)
+        for _ in range(pre_sweeps - 1):
+            e = e + omega * dinv(l, r - mv(l, e))
         res = r - mv(l, e)
         tp_cols, tp_vals, tpt_cols, tpt_vals = transfers[l + 1]
         rc = _block_ell_matvec(tpt_cols, tpt_vals, res)
         ec = cycle(l + 1, rc)
         e = e + _block_ell_matvec(tp_cols, tp_vals, ec)
-        return e + omega * dinv(l, r - mv(l, e))
+        for _ in range(post_sweeps):
+            e = e + omega * dinv(l, r - mv(l, e))
+        return e
 
     def apply(r):  # r [2, N, B]
         e = omega0 * jac0(r)
         if not transfers:
             return e
+        for _ in range(pre_sweeps - 1):
+            e = e + omega0 * jac0(r - op0(e))
         res = (r - op0(e)).transpose(1, 0, 2)  # [N, 2, B]
         p_cols, p_vals, pt_cols, pt_vals = transfers[0]
         rc = _block_ell_matvec(pt_cols, pt_vals, res)
         ec = cycle(0, rc)
         e = e + _block_ell_matvec(p_cols, p_vals, ec).transpose(1, 0, 2)
-        return e + omega0 * jac0(r - op0(e))
+        for _ in range(post_sweeps):
+            e = e + omega0 * jac0(r - op0(e))
+        return e
 
     return apply
 
@@ -1723,7 +1748,12 @@ def _material_dia_amg_lanes_core(
     def jac0(r):
         return solve2(dd, r)
 
-    vcycle = _material_amg_vcycle(mamg, op_sm, jac0, wa32, wb32, wc32)
+    # refined lanes (f64 CG): V(3,3), matching _dia_amg_lanes_core
+    sweeps = 3 if cgt == jnp.float64 else 1
+    vcycle = _material_amg_vcycle(
+        mamg, op_sm, jac0, wa32, wb32, wc32,
+        pre_sweeps=sweeps, post_sweeps=sweeps,
+    )
 
     def precond(r):
         nrm = jnp.sqrt(_lane_dot(r, r))  # [B]

@@ -333,3 +333,34 @@ def test_amg_cache_fingerprint_governs_reuse(plate, tmp_path):
     # rejected -> rebuilt: the foreign setup is NOT the one used
     assert p3.amg_setup is not foreign
     assert p3.solve().iterations == p1.solve().iterations
+
+
+def test_amg_sweeps_auto_cuts_refined_iterations(plate):
+    """Refined solves (f64 CG + f32 V-cycle) auto-engage V(3,3): the extra
+    cheap f32 smoothing sweeps must CUT the expensive f64 CG iteration
+    count vs an explicit V(1,1), while both converge to the same answer
+    (SolverOptions.amg_sweeps; measured 19 -> 12 at 23k nodes)."""
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    auto = compile_problem(
+        plate,
+        bca,
+        MD,
+        SolverOptions(preconditioner="amg", refine="on", cg_rtol=1e-8),
+    )
+    res_auto = auto.solve()
+    v11 = compile_problem(
+        plate,
+        bca,
+        MD,
+        SolverOptions(
+            preconditioner="amg", refine="on", cg_rtol=1e-8, amg_sweeps=1
+        ),
+        amg_setup=auto.amg_setup,  # same hierarchy, different schedule
+    )
+    res_v11 = v11.solve()
+    assert res_auto.residual_rel < 1e-8
+    assert res_v11.residual_rel < 1e-8
+    assert res_auto.iterations < res_v11.iterations
+    np.testing.assert_allclose(
+        res_auto.u, res_v11.u, atol=1e-6 * np.abs(res_v11.u).max()
+    )
