@@ -109,6 +109,10 @@ class SolverOptions:
     # iteration count (19 -> 12 at 23k nodes, measured) are a net win --
     # and V(1,1) everywhere else (same-precision V-cycles pay full price
     # per sweep, where fewer iterations no longer cover the added cost).
+    # Policy in fem.amg.amg_sweep_schedule; honored by the single-device
+    # cores AND the sharded pipeline. Fixed-iteration sweep lanes
+    # (parallel/sweep.py) auto to V(1,1) -- a static budget cannot
+    # harvest an iteration cut -- and take their own amg_sweeps kwarg.
     amg_sweeps: int = 0
     # Scalar-stress sign threshold. The reference flips the sign when
     # sigma_x + sigma_y < 1.0 (src/solver.rs:524-530) -- a quirk we keep as

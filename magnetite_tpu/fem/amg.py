@@ -903,6 +903,30 @@ def _apply_blocks(blocks, x):
     return jnp.einsum("nij,nj->ni", blocks, x, precision="highest")
 
 
+def amg_sweep_schedule(mixed_precision: bool, override: int = 0) -> int:
+    """Pre/post smoothing sweeps per V-cycle (SolverOptions.amg_sweeps).
+
+    The single source of the schedule policy -- every AMG-preconditioned
+    path (fem/solve, parallel/dia_shard, parallel/sweep) derives its
+    V(s,s) from here. ``override > 0`` pins an explicit schedule. Auto:
+
+    - V(3,3) when a cheap f32 V-cycle preconditions rtol-terminated f64
+      CG (``mixed_precision=True``): the emulated-f64 band matvec costs
+      ~15x a f32 matvec on TPU, so extra cheap f32 sweeps that cut the
+      expensive f64 iteration count (19 -> 12 at 23k nodes, measured)
+      are a net win.
+    - V(1,1) for same-precision V-cycles: each sweep pays full price,
+      where fewer iterations no longer cover the added cost.
+
+    Fixed-iteration-budget callers (the lane-sweep cores) must pass
+    ``mixed_precision=False``: a static budget cannot harvest an
+    iteration cut, so extra sweeps are pure added cost per solve unless
+    the caller also shrinks its budget (which ``override`` enables)."""
+    if override > 0:
+        return int(override)
+    return 3 if mixed_precision else 1
+
+
 def make_amg_preconditioner(
     amg: tuple,
     op0: MatVec,

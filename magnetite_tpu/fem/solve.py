@@ -134,10 +134,12 @@ def _observe_kwargs(spec: "CoreSpec") -> dict:
 def _amg_sweep_kwargs(spec: "CoreSpec") -> dict:
     """Effective V-cycle smoothing schedule (SolverOptions.amg_sweeps).
 
-    Auto picks V(3,3) when the V-cycle runs in f32 under refined f64 CG
-    (extra cheap f32 sweeps cut the expensive emulated-f64 iteration
-    count) and V(1,1) for same-precision V-cycles."""
-    s = spec.amg_sweeps if spec.amg_sweeps > 0 else (3 if spec.refine else 1)
+    spec.refine <=> mixed precision here: refined compiles always upload
+    f64 problem arrays (f64 CG) while the V-cycle hierarchy stays f32
+    (see compile_problem's upload_dtype / amg_dtype)."""
+    from .amg import amg_sweep_schedule
+
+    s = amg_sweep_schedule(spec.refine, spec.amg_sweeps)
     return dict(pre_sweeps=s, post_sweeps=s)
 
 

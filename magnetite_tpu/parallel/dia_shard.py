@@ -522,6 +522,7 @@ def _local_dia_solve(
     axis,
     rtol,
     maxiter,
+    amg_sweeps=0,
 ):
     f32 = jnp.float32
 
@@ -551,10 +552,12 @@ def _local_dia_solve(
         lambda a: a.astype(f32) if jnp.issubdtype(a.dtype, jnp.floating) else a,
         amg_local,
     )
-    # refined solves (f64 bands): extra cheap f32 V-cycle sweeps cut the
-    # expensive emulated-f64 CG iteration count -- V(3,3), matching
-    # fem/solve._amg_sweep_kwargs. Same-precision f32 solves keep V(1,1).
-    sweeps = 3 if bands.dtype == jnp.float64 else 1
+    # f64 bands <=> refined (f64 CG over the always-f32 V-cycle): the
+    # shared schedule policy picks V(3,3) there, V(1,1) same-precision
+    # (fem.amg.amg_sweep_schedule; amg_sweeps pins an explicit schedule)
+    from ..fem.amg import amg_sweep_schedule
+
+    sweeps = amg_sweep_schedule(bands.dtype == jnp.float64, amg_sweeps)
     vcycle32 = make_sharded_amg_preconditioner(
         amg32,
         op32,
@@ -598,9 +601,11 @@ def sharded_dia_pcg_solve(
     rtol: float = 1e-6,
     maxiter: int = 100_000,
     refined: bool = False,
+    amg_sweeps: int = 0,
 ):
     """Node-sharded AMG-PCG. refined=True needs f64 problem arrays (f64 CG
-    with the f32 V-cycle, 1e-8-grade global residuals). Returns
+    with the f32 V-cycle, 1e-8-grade global residuals). amg_sweeps pins
+    the V-cycle schedule (0 = auto, fem.amg.amg_sweep_schedule). Returns
     (CGResult, ku) with x, ku [2, Np] node-sharded."""
     if refined and problem.bands.dtype != jnp.float64:
         raise SolverError(
@@ -642,6 +647,7 @@ def sharded_dia_pcg_solve(
                 axis=axis,
                 rtol=rtol,
                 maxiter=maxiter,
+                amg_sweeps=int(amg_sweeps),
             ),
             mesh=problem.device_mesh,
             in_specs=(spec_b, spec_v, spec_v, spec_v, amg_spec, spec_lidx),

@@ -549,6 +549,7 @@ def _compile_sharded(
         rtol=rtol,
         maxiter=int(options.max_cg_iters),
         refined=dia_refined,
+        amg_sweeps=int(options.amg_sweeps),
     )
     spec_b = (
         P(None, None, None, axis)

@@ -1244,7 +1244,7 @@ def _banded_mesh_or_raise(mesh, base_bca, max_diags: int, fallback_hint: str):
 
 def _dia_amg_lanes_core(
     bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_fixed, f_applied,
-    k_scales, tris, iterations,
+    k_scales, tris, iterations, amg_sweeps=0,
 ):
     """bands: CG-precision DIA bands (f64 under mixed precision -- the
     kappa*eps_f32 true-residual wall caps pure-f32 force-driven lanes at
@@ -1297,10 +1297,13 @@ def _dia_amg_lanes_core(
     # V((s K))^-1 = (1/s) V(K)^-1 on free DOFs, identity on fixed). Under
     # mixed precision the residual is normalized per lane before the f32
     # cast (linearity makes the rescale exact; mirrors fem/solve.py).
-    # refined lanes (f64 CG): V(3,3) -- extra cheap f32 sweeps cut the
-    # expensive emulated-f64 iteration count (fem/solve._amg_sweep_kwargs
-    # rationale); pure-f32 lanes keep V(1,1)
-    sweeps = 3 if cgt == jnp.float64 else 1
+    # fixed-iteration lanes: a static budget cannot harvest an iteration
+    # cut, so auto stays V(1,1) even for refined f64 lanes (extra sweeps
+    # would be pure added cost per solve); amg_sweeps pins a stronger
+    # cycle for callers who also shrink `iterations` to match
+    from ..fem.amg import amg_sweep_schedule
+
+    sweeps = amg_sweep_schedule(False, amg_sweeps)
     vcycle = make_amg_preconditioner(
         amg, op_sm, jac0, layout="tl", pre_sweeps=sweeps, post_sweeps=sweeps
     )
@@ -1342,12 +1345,13 @@ def _dia_amg_lanes_core(
     )
 
 
-@partial(jax.jit, static_argnames=("offsets", "iterations"))
+@partial(jax.jit, static_argnames=("offsets", "iterations", "amg_sweeps"))
 def _dia_amg_lanes_jit(bands, bands_sm, offsets, amg, d_mat, b_mat, free,
-                       u_fixed, f_applied, k_scales, tris, iterations):
+                       u_fixed, f_applied, k_scales, tris, iterations,
+                       amg_sweeps):
     return _dia_amg_lanes_core(
         bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_fixed,
-        f_applied, k_scales, tris, iterations,
+        f_applied, k_scales, tris, iterations, amg_sweeps,
     )
 
 
@@ -1375,6 +1379,8 @@ class CompiledUnstructuredSweep:
     n_nodes: int
     # lanes shard over this jax.sharding.Mesh (None = single device)
     device_mesh: object = None
+    # V-cycle schedule override (0 = auto; fem.amg.amg_sweep_schedule)
+    amg_sweeps: int = 0
 
     def _batch(self, arr):
         if self.device_mesh is not None:
@@ -1400,6 +1406,7 @@ class CompiledUnstructuredSweep:
             self._batch(k_scales),
             self.tris,
             self.iterations,
+            self.amg_sweeps,
         )
         if self.perm is not None:
             u_out = np.empty_like(np.asarray(u))
@@ -1421,6 +1428,7 @@ def compile_unstructured_sweep(
     max_diags: int = 96,
     refined=None,
     device_mesh=None,
+    amg_sweeps: int = 0,
 ) -> CompiledUnstructuredSweep:
     """Compile an arbitrary (delaunay/gmsh) mesh for AMG-lane sweeps.
 
@@ -1532,6 +1540,7 @@ def compile_unstructured_sweep(
         amg_setup=amg_setup,
         n_nodes=n,
         device_mesh=device_mesh,
+        amg_sweeps=int(amg_sweeps),
     )
 
 
@@ -1709,7 +1718,7 @@ def _material_amg_vcycle(
 
 def _material_dia_amg_lanes_core(
     bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
-    e_mods, nus, ts, tris, iterations,
+    e_mods, nus, ts, tris, iterations, amg_sweeps=0,
 ):
     cgt = bands3[0].dtype
     smt = bands3_sm[0].dtype
@@ -1748,8 +1757,12 @@ def _material_dia_amg_lanes_core(
     def jac0(r):
         return solve2(dd, r)
 
-    # refined lanes (f64 CG): V(3,3), matching _dia_amg_lanes_core
-    sweeps = 3 if cgt == jnp.float64 else 1
+    # fixed-iteration lanes: auto V(1,1) -- a static budget cannot
+    # harvest an iteration cut (see _dia_amg_lanes_core); amg_sweeps
+    # pins a stronger cycle for callers who also shrink `iterations`
+    from ..fem.amg import amg_sweep_schedule
+
+    sweeps = amg_sweep_schedule(False, amg_sweeps)
     vcycle = _material_amg_vcycle(
         mamg, op_sm, jac0, wa32, wb32, wc32,
         pre_sweeps=sweeps, post_sweeps=sweeps,
@@ -1798,14 +1811,14 @@ def _material_dia_amg_lanes_core(
     )
 
 
-@partial(jax.jit, static_argnames=("offsets", "iterations"))
+@partial(jax.jit, static_argnames=("offsets", "iterations", "amg_sweeps"))
 def _material_dia_amg_lanes_jit(
     bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
-    e_mods, nus, ts, tris, iterations,
+    e_mods, nus, ts, tris, iterations, amg_sweeps,
 ):
     return _material_dia_amg_lanes_core(
         bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
-        e_mods, nus, ts, tris, iterations,
+        e_mods, nus, ts, tris, iterations, amg_sweeps,
     )
 
 
@@ -1827,6 +1840,8 @@ class CompiledUnstructuredMaterialSweep:
     n_nodes: int
     # lanes shard over this jax.sharding.Mesh (None = single device)
     device_mesh: object = None
+    # V-cycle schedule override (0 = auto; fem.amg.amg_sweep_schedule)
+    amg_sweeps: int = 0
 
     def _batch(self, arr):
         if self.device_mesh is not None:
@@ -1855,6 +1870,7 @@ class CompiledUnstructuredMaterialSweep:
             self._batch(thicknesses),
             self.tris,
             self.iterations,
+            self.amg_sweeps,
         )
         if self.perm is not None:
             u_out = np.empty_like(np.asarray(u))
@@ -1875,6 +1891,7 @@ def compile_unstructured_material_sweep(
     max_diags: int = 96,
     refined=None,
     device_mesh=None,
+    amg_sweeps: int = 0,
 ) -> CompiledUnstructuredMaterialSweep:
     """Compile an arbitrary mesh for TRUE material sweeps.
 
@@ -1953,4 +1970,5 @@ def compile_unstructured_material_sweep(
         material_setup=material_setup,
         n_nodes=n,
         device_mesh=device_mesh,
+        amg_sweeps=int(amg_sweeps),
     )

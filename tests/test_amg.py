@@ -364,3 +364,14 @@ def test_amg_sweeps_auto_cuts_refined_iterations(plate):
     np.testing.assert_allclose(
         res_auto.u, res_v11.u, atol=1e-6 * np.abs(res_v11.u).max()
     )
+
+
+def test_amg_sweep_schedule_policy():
+    """The shared schedule policy (fem.amg.amg_sweep_schedule): V(3,3)
+    only under mixed precision, V(1,1) same-precision, override wins."""
+    from magnetite_tpu.fem.amg import amg_sweep_schedule
+
+    assert amg_sweep_schedule(True) == 3
+    assert amg_sweep_schedule(False) == 1
+    assert amg_sweep_schedule(True, 1) == 1
+    assert amg_sweep_schedule(False, 4) == 4

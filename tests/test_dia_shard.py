@@ -159,3 +159,24 @@ def test_refined_requires_f64(plate, device_mesh):
     )
     with pytest.raises(SolverError, match="float64"):
         sharded_dia_pcg_solve(problem, refined=True)
+
+
+def test_sharded_amg_sweeps_override(plate, device_mesh):
+    """amg_sweeps reaches the sharded V-cycle: a refined solve pinned to
+    V(1,1) must take MORE f64 CG iterations than the auto V(3,3)
+    schedule, while both converge to the same solution (the override the
+    single-device test pins in tests/test_amg.py; plumbed via
+    sharded_dia_pcg_solve -> _local_dia_solve)."""
+    bca = _bca(plate)
+    problem = prepare_sharded_dia_problem(
+        plate, bca, MD, device_mesh, dtype=np.float64
+    )
+    auto, _ = sharded_dia_pcg_solve(problem, rtol=1e-9, refined=True)
+    v11, _ = sharded_dia_pcg_solve(
+        problem, rtol=1e-9, refined=True, amg_sweeps=1
+    )
+    assert bool(auto.converged) and bool(v11.converged)
+    assert int(auto.iterations) < int(v11.iterations)
+    n = plate.num_nodes
+    ua, u1 = np.asarray(auto.x)[:, :n], np.asarray(v11.x)[:, :n]
+    np.testing.assert_allclose(ua, u1, atol=1e-7 * np.abs(u1).max())

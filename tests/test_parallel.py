@@ -718,3 +718,46 @@ def test_sweep_device_mesh_rejects_ragged_batch():
             np.zeros((b, mesh.num_nodes, 2)),
             np.ones(b),
         )
+
+
+def test_unstructured_sweep_amg_sweeps_override(metadata):
+    """amg_sweeps reaches the lane V-cycle: at the SAME fixed iteration
+    budget a pinned V(3,3) is a strictly stronger preconditioner than the
+    V(1,1) auto default, so every lane's true relative residual must
+    drop. (Auto stays V(1,1) in the fixed-budget cores -- a static budget
+    cannot harvest an iteration cut -- so stronger cycles are opt-in for
+    callers who also shrink the budget.)"""
+    from magnetite_tpu.config import ModelMetadata
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from magnetite_tpu.parallel.sweep import compile_unstructured_sweep
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    mesh = triangulate([outer], 0.0, 0.03)
+
+    from tests.conftest import make_rule
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from magnetite_tpu.config import BoundaryRegion
+
+    rules = (
+        make_rule("left", BoundaryRegion(x_max=1e-6), ux=0.0, uy=0.0),
+        make_rule("right", BoundaryRegion(x_min=3.0 - 1e-6), ux=0.01, fy=0.0),
+    )
+    bca = apply_boundary_conditions(mesh.coords, rules)
+    md = ModelMetadata(69e9, 0.33, 0.5, 0.0, 0.03)
+
+    k_scales = np.array([0.5, 1.0, 2.0])
+    u_values = np.tile(bca.u_value[None], (3, 1, 1))
+    f_values = np.tile(bca.f_value[None], (3, 1, 1))
+
+    v11 = compile_unstructured_sweep(mesh, bca, md, iterations=6)
+    # the premise needs a real multi-level hierarchy: a too-small mesh
+    # would take the exact dense-coarse path, where sweeps are moot
+    assert v11.amg_setup.transfers
+    v33 = compile_unstructured_sweep(
+        mesh, bca, md, iterations=6, amg_sweeps=3, amg_setup=v11.amg_setup
+    )
+    r11 = v11.solve(u_values, f_values, k_scales)
+    r33 = v33.solve(u_values, f_values, k_scales)
+    rel11 = np.asarray(r11.residual_norm) / np.asarray(r11.rhs_norm)
+    rel33 = np.asarray(r33.residual_norm) / np.asarray(r33.rhs_norm)
+    assert (rel33 < rel11).all(), (rel33, rel11)
