@@ -180,7 +180,7 @@ def triangulate(
 
     Parity with full-set qhull is asserted in tests across geometries.
     """
-    from scipy.spatial import Delaunay
+    from scipy.spatial import Delaunay, QhullError
 
     outer, holes = loops[0], list(loops[1:])
     if characteristic_length_max <= 0:
@@ -219,7 +219,16 @@ def triangulate(
     sub_deep = np.concatenate(
         [np.zeros(n_b, dtype=bool), deep[in_subset]]
     )
-    tri = Delaunay(points[sub_ids])
+    try:
+        tri = Delaunay(points[sub_ids])
+    except QhullError as err:
+        # collinear/coincident boundary loops leave qhull no valid simplex;
+        # surface it as the module's typed error like every other
+        # bad-geometry path
+        raise MesherError(
+            "Delaunay triangulation failed -- the boundary geometry is "
+            f"degenerate (collinear or coincident points?): {err}"
+        ) from err
     st = tri.simplices
     st = st[~sub_deep[st].all(axis=1)]  # drop all-deep (incl. spanning)
     qtris = sub_ids[st]
@@ -231,6 +240,10 @@ def triangulate(
 
     dtris = _canonical_deep_tris(deep.reshape(ny, nx), lat_gid.reshape(ny, nx))
     tris = np.concatenate([qtris, dtris], axis=0).astype(np.int32)
+    if tris.shape[0] == 0:
+        # every triangle was filtered (e.g. a hole congruent to the outer
+        # loop): raise the typed error before the empty-area reduction below
+        raise MesherError("meshing produced no elements inside the domain")
 
     # drop degenerate slivers (zero area after filtering)
     areas = np.abs(signed_areas(points, tris))

@@ -43,6 +43,20 @@ def guarded_inv2(d):
     return jnp.stack([jnp.stack([e_, -b_]), jnp.stack([-c_, a_])]) / det
 
 
+def apply_blocks(d, r):
+    """Per-block 2x2 apply: d [2, 2, *dims] @ r [2, *dims] -> [2, *dims].
+
+    Explicit FMAs (VPU, full f32) -- an einsum would route the tiny
+    contractions to the bf16 MXU. One implementation keeps the smoother /
+    block-Jacobi apply identical across the sharded stencil and DIA paths."""
+    return jnp.stack(
+        [
+            d[0, 0] * r[0] + d[0, 1] * r[1],
+            d[1, 0] * r[0] + d[1, 1] * r[1],
+        ]
+    )
+
+
 def solve2(d, r):
     """Guarded per-block 2x2 solve: d [2,2,*dims], r [2,*dims] -> d^-1 r.
 

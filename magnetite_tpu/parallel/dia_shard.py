@@ -165,12 +165,6 @@ def _ell_diag_t(ell_local, lidx_local, halo: int):
     return jnp.einsum("nk,nkij->ijn", own, ell_local, precision="highest")
 
 
-def _apply_2x2(inv, r):
-    return jnp.stack(
-        [inv[0, 0] * r[0] + inv[0, 1] * r[1], inv[1, 0] * r[0] + inv[1, 1] * r[1]]
-    )
-
-
 def make_sharded_amg_preconditioner(
     amg_local: tuple,
     op0,
@@ -190,7 +184,7 @@ def make_sharded_amg_preconditioner(
     coarsest_inv_tuple) -- the first transfer is node-sharded by fine row,
     the rest replicated.
     """
-    from ..fem.amg import _block_ell_matvec, make_coarse_cycle
+    from ..fem.amg import make_coarse_cycle
 
     (p_cols, p_vals), transfers_tail, coarse, ci = amg_local
     n_coarse_levels = len(coarse)
@@ -523,6 +517,7 @@ def _local_dia_solve(
     rtol,
     maxiter,
     amg_sweeps=0,
+    history=0,
 ):
     f32 = jnp.float32
 
@@ -558,10 +553,12 @@ def _local_dia_solve(
     from ..fem.amg import amg_sweep_schedule
 
     sweeps = amg_sweep_schedule(bands.dtype == jnp.float64, amg_sweeps)
+    from .blocks import apply_blocks
+
     vcycle32 = make_sharded_amg_preconditioner(
         amg32,
         op32,
-        lambda r: _apply_2x2(jac32, r),
+        lambda r: apply_blocks(jac32, r),
         axis,
         pre_sweeps=sweeps,
         post_sweeps=sweeps,
@@ -591,9 +588,17 @@ def _local_dia_solve(
         rtol=rtol,
         maxiter=maxiter,
         dot=dot,
+        history=history,
     )
     ku = raw_mv(result.x)
-    return result.x, ku, result.iterations, result.residual_norm, result.converged
+    return (
+        result.x,
+        ku,
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+        result.history,
+    )
 
 
 def sharded_dia_pcg_solve(
@@ -602,11 +607,14 @@ def sharded_dia_pcg_solve(
     maxiter: int = 100_000,
     refined: bool = False,
     amg_sweeps: int = 0,
+    history: int = 0,
 ):
     """Node-sharded AMG-PCG. refined=True needs f64 problem arrays (f64 CG
     with the f32 V-cycle, 1e-8-grade global residuals). amg_sweeps pins
-    the V-cycle schedule (0 = auto, fem.amg.amg_sweep_schedule). Returns
-    (CGResult, ku) with x, ku [2, Np] node-sharded."""
+    the V-cycle schedule (0 = auto, fem.amg.amg_sweep_schedule). history
+    > 0 records the GLOBAL ||r|| of the first `history` CG iterations
+    (CGResult.history, replicated). Returns (CGResult, ku) with x, ku
+    [2, Np] node-sharded."""
     if refined and problem.bands.dtype != jnp.float64:
         raise SolverError(
             "refined sharded solve needs dtype=np.float64 problem arrays"
@@ -648,20 +656,25 @@ def sharded_dia_pcg_solve(
                 rtol=rtol,
                 maxiter=maxiter,
                 amg_sweeps=int(amg_sweeps),
+                history=int(history),
             ),
             mesh=problem.device_mesh,
             in_specs=(spec_b, spec_v, spec_v, spec_v, amg_spec, spec_lidx),
-            out_specs=(spec_v, spec_v, P(), P(), P()),
+            out_specs=(spec_v, spec_v, P(), P(), P(), P()),
             check_vma=False,
         )
     )
-    x, ku, iters, resnorm, converged = solve(
+    x, ku, iters, resnorm, converged, hist = solve(
         problem.bands, problem.free, problem.u_fixed, problem.f, problem.amg,
         problem.ell_lidx,
     )
     return (
         CGResult(
-            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+            x=x,
+            iterations=iters,
+            residual_norm=resnorm,
+            converged=converged,
+            history=hist,
         ),
         ku,
     )

@@ -246,6 +246,9 @@ class CompiledShardedProblem:
                 f"{int(result.iterations)} iterations "
                 f"(residual norm {float(result.residual_norm):.3e})"
             )
+        # stencil refined runs report an empty history (the inner solves
+        # restart each pass -- same contract as the single-chip refine mode)
+        hist = getattr(result, "history", None)
         return SolveResult(
             u=u,
             f=f,
@@ -258,7 +261,9 @@ class CompiledShardedProblem:
             / max(float(bnorm), 1e-300),
             converged=True,
             timings=timings,
-            residual_history=np.zeros(0),
+            residual_history=(
+                np.asarray(hist) if hist is not None else np.zeros(0)
+            ),
         )
 
 
@@ -356,21 +361,6 @@ def _compile_sharded(
             "renumbered automatically)"
         )
 
-    dtype = default_dtype(options)
-    x64 = bool(jax.config.jax_enable_x64)
-    rtol = float(options.cg_rtol)
-    refined = options.refine == "on" or (
-        options.refine == "auto"
-        and x64
-        and dtype == np.float32
-        and rtol < _f32_rtol_floor()
-    )
-    if options.refine == "on" and not x64:
-        raise SolverError("refine='on' requires jax_enable_x64 (f64 residuals)")
-    prep_dtype = (
-        np.float64 if (refined or dtype == np.float64) else np.float32
-    )
-
     use_stencil = options.operator in ("auto", "stencil") and _is_grid_local(
         mesh
     )
@@ -379,6 +369,28 @@ def _compile_sharded(
             "mesh connectivity is not grid-local; stencil operator "
             "unavailable"
         )
+
+    dtype = default_dtype(options)
+    x64 = bool(jax.config.jax_enable_x64)
+    rtol = float(options.cg_rtol)
+    if options.refine == "on" and not x64:
+        raise SolverError("refine='on' requires jax_enable_x64 (f64 residuals)")
+    # refine="auto" engages only for the stencil operator, mirroring the
+    # single-chip rule (fem/solve.py): the scatter-free stencil assembly is
+    # cheap in f64, while irregular-format f64 prep is a compile/memory
+    # jump unstructured users opt into explicitly with refine="on". The
+    # non-refined f32 solvers clamp sub-floor rtols themselves (with the
+    # same warning the single-chip path logs).
+    refined = options.refine == "on" or (
+        options.refine == "auto"
+        and use_stencil
+        and x64
+        and dtype == np.float32
+        and rtol < _f32_rtol_floor()
+    )
+    prep_dtype = (
+        np.float64 if (refined or dtype == np.float64) else np.float32
+    )
 
     e = metadata.youngs_modulus
     nu = metadata.poisson_ratio
@@ -434,6 +446,7 @@ def _compile_sharded(
                 rtol=rtol,
                 maxiter=int(options.max_cg_iters),
                 preconditioner=precond,
+                history=int(options.residual_history),
             )
         spec5 = P(None, None, None, axis, None)
         spec3 = P(None, axis, None)
@@ -514,6 +527,14 @@ def _compile_sharded(
             "preconditioner='jacobi'; using block_jacobi"
         )
 
+    # the sharded layout prefers a wider band budget than the single-chip
+    # default (its ELL fallback pays a width-W gather per matvec), so the
+    # DEFAULT budget is raised to 64 -- but an explicit user max_diags is
+    # honored, same as the single-chip path
+    max_diags = int(options.max_diags)
+    if max_diags == SolverOptions.max_diags:
+        max_diags = max(max_diags, 64)
+
     t0 = time.perf_counter()
     problem = prepare_sharded_dia_problem(
         mesh,
@@ -523,7 +544,7 @@ def _compile_sharded(
         axis=axis,
         dtype=prep_dtype,
         amg_setup=amg_setup,
-        max_diags=max(int(options.max_diags), 64),
+        max_diags=max_diags,
         cell_factor=float(options.amg_cell_factor),
         preconditioner=dia_precond,
     )
@@ -550,6 +571,7 @@ def _compile_sharded(
         maxiter=int(options.max_cg_iters),
         refined=dia_refined,
         amg_sweeps=int(options.amg_sweeps),
+        history=int(options.residual_history),
     )
     spec_b = (
         P(None, None, None, axis)

@@ -42,6 +42,10 @@ from ..fem.cg import CGResult, pcg
 from ..fem.stencil import OFFSETS, CENTER
 from ..meshing.core import Mesh as FemMesh
 
+# shared 2x2 block apply (parallel/blocks.py); module-level binding so the
+# preconditioner-selection tests can observe/poison every call site here
+from .blocks import apply_blocks as _apply_dinv
+
 
 @dataclass
 class ShardedStencilProblem:
@@ -268,14 +272,6 @@ def halo_stencil_matvec(
     return jnp.stack([y0, y1])
 
 
-def _apply_dinv(diag_inv, r):
-    # explicit 2x2 block FMAs (VPU, full f32)
-    return jnp.stack(
-        [
-            diag_inv[0, 0] * r[0] + diag_inv[0, 1] * r[1],
-            diag_inv[1, 0] * r[0] + diag_inv[1, 1] * r[1],
-        ]
-    )
 
 
 def _sharded_mg_preconditioner(
@@ -367,6 +363,7 @@ def _local_pcg(
     maxiter,
     preconditioner,
     impl="auto",
+    history=0,
 ):
     raw_mv = make_halo_stencil_operator(raw, axis, wrap, impl)
     op = make_halo_stencil_operator(reduced, axis, wrap, impl)
@@ -397,9 +394,17 @@ def _local_pcg(
         rtol=rtol,
         maxiter=maxiter,
         dot=dot,
+        history=history,
     )
     ku = raw_mv(result.x)
-    return result.x, ku, result.iterations, result.residual_norm, result.converged
+    return (
+        result.x,
+        ku,
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+        result.history,
+    )
 
 
 def _build_coarse_levels(problem: ShardedStencilProblem) -> tuple:
@@ -429,12 +434,15 @@ def sharded_stencil_pcg_solve(
     maxiter: int = 100_000,
     preconditioner: str = "auto",
     impl: str = "auto",
+    history: int = 0,
 ):
     """Row-sharded PCG. preconditioner: "auto" = multigrid when the grid can
     coarsen (sharded fine smoothing + replicated coarse V-cycle), else
     block-Jacobi. impl selects the shard-local kernel
-    (make_halo_stencil_operator). Returns (CGResult, ku) with grid-shaped
-    row-sharded x [2, Rp, C] and ku = K x for force recovery."""
+    (make_halo_stencil_operator). history > 0 records the GLOBAL ||r|| of
+    the first `history` iterations (CGResult.history, replicated). Returns
+    (CGResult, ku) with grid-shaped row-sharded x [2, Rp, C] and ku = K x
+    for force recovery."""
     from ..fem.multigrid import can_coarsen
 
     axis = problem.axis
@@ -478,15 +486,16 @@ def sharded_stencil_pcg_solve(
                 maxiter=maxiter,
                 preconditioner=preconditioner,
                 impl=impl,
+                history=int(history),
             ),
             mesh=problem.device_mesh,
             in_specs=(spec5, spec5, spec3, spec3, spec3, spec4, coarse_specs),
-            out_specs=(spec3, spec3, P(), P(), P()),
+            out_specs=(spec3, spec3, P(), P(), P(), P()),
             # pallas_call inside shard_map requires vma checking off
             check_vma=False,
         )
     )
-    x, ku, iters, resnorm, converged = solve(
+    x, ku, iters, resnorm, converged, hist = solve(
         problem.reduced,
         problem.raw,
         problem.free_g,
@@ -497,7 +506,11 @@ def sharded_stencil_pcg_solve(
     )
     return (
         CGResult(
-            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+            x=x,
+            iterations=iters,
+            residual_norm=resnorm,
+            converged=converged,
+            history=hist,
         ),
         ku,
     )

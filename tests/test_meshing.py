@@ -353,3 +353,19 @@ def test_clearance_limited_matches_exact_kernel():
     # above the cutoff: only ever a loose UPPER bound (never too small)
     above = ~below
     assert (got[above] >= exact[above] - 1e-12).all()
+
+
+def test_delaunay_collinear_loop_raises_mesher_error():
+    """Degenerate (collinear) boundary loops must surface the module's
+    typed MesherError, not leak scipy's QhullError."""
+    line = np.array([[0.0, 0.0], [1.0, 0.0], [2.0, 0.0]])
+    with pytest.raises(MesherError, match="degenerate"):
+        triangulate([line], 0.1, 1.0)
+
+
+def test_delaunay_empty_domain_raises_mesher_error():
+    """A hole congruent to the outer loop filters every triangle; the
+    typed no-elements error must fire before any empty-array reduction."""
+    sq = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+    with pytest.raises(MesherError, match="no elements"):
+        triangulate([sq, sq.copy()], 0.1, 0.2)

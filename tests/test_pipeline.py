@@ -317,3 +317,60 @@ def test_structured_pipeline_preconditioner_none(device_mesh):
     )
     res_s = problem.solve()
     _assert_result_parity(res_s, res_1)
+
+
+def test_pipeline_residual_history(plate, device_mesh):
+    """SolverOptions.residual_history flows through to the sharded DIA
+    solver (the single-chip SolveResult contract)."""
+    bca = _plate_bca(plate)
+    opts = SolverOptions(cg_rtol=1e-8, residual_history=12)
+    res_s = compile_sharded_problem(
+        plate, bca, MD, opts, device_mesh=device_mesh
+    ).solve()
+    assert res_s.residual_history.shape == (12,)
+    # entries past convergence stay zero (the CGResult.history contract)
+    k = min(12, res_s.iterations)
+    assert k > 1 and (res_s.residual_history[:k] > 0).all()
+    assert res_s.residual_history[k - 1] < res_s.residual_history[0]
+
+
+def test_structured_pipeline_residual_history(device_mesh):
+    """residual_history on the sharded stencil path records the GLOBAL
+    per-iteration residual norms."""
+    mesh = rect_mesh(48, 24, width=2.0, height=1.0)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    opts = SolverOptions(cg_rtol=1e-8, residual_history=10)
+    res_s = compile_sharded_problem(
+        mesh, bca, MD, opts, device_mesh=device_mesh
+    ).solve()
+    assert res_s.residual_history.shape == (10,)
+    assert (res_s.residual_history > 0).all()
+
+
+def test_sharded_refine_auto_gates_on_stencil(plate, device_mesh):
+    """refine='auto' + f32 + sub-floor rtol must NOT silently upgrade an
+    unstructured sharded solve to f64 prep/CG -- it clamps the tolerance
+    instead, mirroring the single-chip rule (fem/solve.py)."""
+    import jax.numpy as jnp
+
+    bca = _plate_bca(plate)
+    opts = SolverOptions(dtype="float32", cg_rtol=1e-12)
+    compiled = compile_sharded_problem(
+        plate, bca, MD, opts, device_mesh=device_mesh
+    )
+    assert compiled.problem.bands.dtype == jnp.float32
+    res = compiled.solve()  # rtol clamps to the f32 floor with a warning
+    assert res.converged
+
+
+def test_sharded_explicit_max_diags_honored(device_mesh):
+    """An explicit small max_diags steers the sharded path to the ELL
+    fallback instead of being silently floored at 64 (the raised default
+    applies only when the flag is untouched)."""
+    mesh = rect_mesh(24, 12, width=2.0, height=1.0)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    opts = SolverOptions(operator="dia", max_diags=4)
+    compiled = compile_sharded_problem(
+        mesh, bca, MD, opts, device_mesh=device_mesh
+    )
+    assert compiled.problem.kind == "ell"
