@@ -167,6 +167,88 @@ def _stencil_recover_local(
     return f, sigma, stress, vm, bnorm
 
 
+def _build_recovery_2d(tris, coords, rows, cols, wrap, n_r, n_c, rl, cl):
+    """Bucket elements by owning (row, col) device tile; return host arrays
+    for the shard-local sigma = D B u_e gather over the 2D halo block.
+
+    Structured-grid node ids are row-major (id = r*cols + c) and every
+    element spans <= 2 adjacent grid rows/cols (wrapped elements span
+    {cols-1, 0}), so ONE halo ring -- exactly what the operator's
+    exchange_halo_2d provides -- makes all three nodes of every owned
+    element locally addressable. Returns (eids [S,Emax], valid [S,Emax],
+    lidx [S,Emax,3], ecoords [S,Emax,3,2]) with S = n_r*n_c (row-major
+    shard order) and lidx indexing the FLATTENED [2, (rl+2)*(cl+2)]
+    halo-extended tile."""
+    t64 = tris.astype(np.int64)
+    er = t64 // cols  # [E,3] grid rows
+    ec = t64 % cols  # [E,3] grid cols
+    anchor_r = er.min(axis=1)
+    if wrap:
+        spans = ec.max(axis=1) - ec.min(axis=1) > 1  # wrap-crossing elements
+        # a wrapped element's cols are in {0, cols-1}: anchor at cols-1,
+        # its c=0 nodes sit one step to the RIGHT (the periodic halo)
+        anchor_c = np.where(spans, cols - 1, ec.min(axis=1))
+        dc = (
+            np.where(spans[:, None] & (ec == 0), anchor_c[:, None] + 1, ec)
+            - anchor_c[:, None]
+        )
+    else:
+        anchor_c = ec.min(axis=1)
+        dc = ec - anchor_c[:, None]
+    owner_r = anchor_r // rl
+    owner_c = anchor_c // cl
+    owner = owner_r * n_c + owner_c
+    lr = er - (owner_r * rl)[:, None] + 1  # in [1, rl+1]
+    lc = (anchor_c - owner_c * cl)[:, None] + dc + 1  # in [1, cl+1]
+    lflat = lr * (cl + 2) + lc
+
+    n_shards = n_r * n_c
+    counts = np.bincount(owner, minlength=n_shards)
+    emax = max(int(counts.max()), 1)
+    order = np.argsort(owner, kind="stable")
+    eids = np.zeros((n_shards, emax), dtype=np.int64)
+    valid = np.zeros((n_shards, emax), dtype=bool)
+    lidx = np.zeros((n_shards, emax, 3), dtype=np.int32)
+    ecoords = np.zeros((n_shards, emax, 3, 2))
+    # pad elements: dummy unit right triangle at extended index 0 (masked)
+    ecoords[..., 1, 0] = 1.0
+    ecoords[..., 2, 1] = 1.0
+    pos = 0
+    for s in range(n_shards):
+        c = int(counts[s])
+        ids = order[pos : pos + c]
+        pos += c
+        eids[s, :c] = ids
+        valid[s, :c] = True
+        lidx[s, :c] = lflat[ids].astype(np.int32)
+        ecoords[s, :c] = coords[tris[ids]]
+    return eids, valid, lidx, ecoords
+
+
+def _stencil_recover_local_2d(
+    x, ku, raw, free_g, u_fixed_g, f_g, lidx, ecoords,
+    *, row_axis, col_axis, wrap, e, nu, sign_threshold,
+):
+    from .stencil_shard import (
+        exchange_halo_2d,
+        make_halo_stencil_operator_2d,
+    )
+
+    raw_mv = make_halo_stencil_operator_2d(
+        raw, row_axis, col_axis, wrap, impl="xla"
+    )
+    b = free_g * (f_g - raw_mv((1.0 - free_g) * u_fixed_g)) + (
+        1.0 - free_g
+    ) * u_fixed_g
+    bnorm = jnp.sqrt(jax.lax.psum(jnp.sum(b * b), (row_axis, col_axis)))
+    f = free_g * f_g + (1.0 - free_g) * ku
+    u_ext = exchange_halo_2d(x, row_axis, col_axis, wrap)  # [2, rl+2, cl+2]
+    sigma, stress, vm = _local_sigma(
+        u_ext.reshape(2, -1), lidx, ecoords, e, nu, sign_threshold
+    )
+    return f, sigma[None], stress[None], vm[None], bnorm
+
+
 # ------------------------------ compiled problem ----------------------------
 
 
@@ -212,6 +294,11 @@ class CompiledShardedProblem:
             rows, cols = self.grid_rows, self.grid_cols
             u = np.asarray(result.x)[:, :rows, :].reshape(2, -1).T
             f = np.asarray(f_d)[:, :rows, :].reshape(2, -1).T
+        elif self.kind == "stencil2d":
+            rows, cols = self.grid_rows, self.grid_cols
+            # both grid axes may be padded on a 2D device mesh
+            u = np.asarray(result.x)[:, :rows, :cols].reshape(2, -1).T
+            f = np.asarray(f_d)[:, :rows, :cols].reshape(2, -1).T
         else:
             u = np.asarray(result.x)[:, :n].T
             f = np.asarray(f_d)[:, :n].T
@@ -298,17 +385,29 @@ def compile_sharded_problem(
     the same deep-accuracy schemes as single-chip (mixed-precision
     refinement on stencil, f64-CG + f32 V-cycle on DIA).
 
+    A TWO-axis device mesh lays a structured grid out over a 2D ICI torus
+    (rows x cols tiles, `stencil_shard`'s 2D halo operator + sharded
+    multigrid) with the same end-to-end recovery; unstructured meshes are
+    node-sharded and need a 1D device mesh.
+
     Meshes too small for the requested shard count (the band/stress halo
     must fit inside one shard) retry on a halved device mesh with a
     warning, down to a single device -- small problems stay runnable under
-    the same flag that scales big ones.
+    the same flag that scales big ones. (2D meshes don't retry: their
+    stress halo is always one ring, and a wrapped-cols divisibility
+    failure needs a different layout, not fewer devices.)
     """
     if device_mesh is None:
         device_mesh = default_device_mesh()
+    if len(device_mesh.axis_names) == 2:
+        return _compile_sharded_2d(
+            mesh, bca, metadata, options, device_mesh
+        )
     if len(device_mesh.axis_names) != 1:
         raise SolverError(
-            "the sharded pipeline uses a 1D device mesh; 2D torus layouts "
-            "are reachable through parallel/stencil_shard.py directly"
+            "the sharded pipeline uses a 1D device mesh (or 2D for "
+            "structured grids); got "
+            f"{len(device_mesh.axis_names)} axes"
         )
     axis = device_mesh.axis_names[0]
     while True:
@@ -629,4 +728,163 @@ def _compile_sharded(
         timings=timings,
         debug_nans=bool(options.debug_nans),
         amg_setup=problem.amg_setup,
+    )
+
+
+def _compile_sharded_2d(
+    mesh: FemMesh,
+    bca: BCArrays,
+    metadata: ModelMetadata,
+    options: SolverOptions,
+    device_mesh: Mesh,
+) -> CompiledShardedProblem:
+    """2D (rows x cols) device-mesh pipeline for structured grids.
+
+    Same end-to-end contract as the 1D path (sharded solve + force/stress
+    recovery -> SolveResult); the operator/multigrid run over
+    stencil_shard's 2D halo machinery, so halo traffic rides both ICI
+    torus axes. The device mesh's FIRST axis shards grid rows, the second
+    grid cols."""
+    from ..fem.solve import _f32_rtol_floor, default_dtype
+    from .stencil_shard import (
+        prepare_sharded_stencil_problem_2d,
+        sharded_stencil_pcg_solve_2d,
+        sharded_stencil_refined_solve_2d,
+    )
+
+    row_axis, col_axis = device_mesh.axis_names
+    n_r = int(device_mesh.shape[row_axis])
+    n_c = int(device_mesh.shape[col_axis])
+    timings: dict = {}
+
+    if not bca.u_known.any():
+        raise SolverError(
+            "model has no prescribed displacements; stiffness system is "
+            "singular"
+        )
+    if options.operator not in ("auto", "stencil") or not _is_grid_local(
+        mesh
+    ):
+        raise SolverError(
+            "a 2D device mesh shards the structured stencil operator; this "
+            "mesh/operator combination needs a 1D device mesh (node-sharded "
+            "DIA/AMG)"
+        )
+
+    dtype = default_dtype(options)
+    x64 = bool(jax.config.jax_enable_x64)
+    rtol = float(options.cg_rtol)
+    if options.refine == "on" and not x64:
+        raise SolverError("refine='on' requires jax_enable_x64 (f64 residuals)")
+    refined = options.refine == "on" or (
+        options.refine == "auto"
+        and x64
+        and dtype == np.float32
+        and rtol < _f32_rtol_floor()
+    )
+    prep_dtype = (
+        np.float64 if (refined or dtype == np.float64) else np.float32
+    )
+
+    precond = options.preconditioner
+    if precond == "amg":
+        raise SolverError(
+            "amg preconditioner applies to unstructured operators; "
+            "structured sharded solves use 'multigrid'"
+        )
+    if precond == "jacobi":
+        from ..utils.logging import log
+
+        log(
+            "warning: sharded stencil solves do not implement "
+            "preconditioner='jacobi'; using block_jacobi"
+        )
+        precond = "block_jacobi"
+
+    t0 = time.perf_counter()
+    problem = prepare_sharded_stencil_problem_2d(
+        mesh, bca, metadata, device_mesh,
+        row_axis=row_axis, col_axis=col_axis, dtype=prep_dtype,
+    )
+    timings["prepare_s"] = time.perf_counter() - t0
+    timings["operator"] = "stencil-sharded-2d"
+    rows, cols = mesh.grid_shape
+    rl = problem.free_g.shape[1] // n_r
+    cl = problem.free_g.shape[2] // n_c
+    eids, valid, lidx, ecoords = _build_recovery_2d(
+        mesh.tris, mesh.coords, rows, cols, mesh.wrap_cols, n_r, n_c, rl, cl
+    )
+
+    if refined:
+        run_solver = partial(
+            sharded_stencil_refined_solve_2d,
+            problem,
+            rtol=rtol,
+            maxiter=int(options.max_cg_iters),
+            preconditioner=precond,
+            history=int(options.residual_history),
+        )
+    else:
+        run_solver = partial(
+            sharded_stencil_pcg_solve_2d,
+            problem,
+            rtol=rtol,
+            maxiter=int(options.max_cg_iters),
+            preconditioner=precond,
+            history=int(options.residual_history),
+        )
+
+    spec5 = P(None, None, None, row_axis, col_axis)
+    spec3 = P(None, row_axis, col_axis)
+    spec_e3 = P((row_axis, col_axis), None, None)
+    recover = jax.jit(
+        jax.shard_map(
+            partial(
+                _stencil_recover_local_2d,
+                row_axis=row_axis,
+                col_axis=col_axis,
+                wrap=problem.wrap_cols,
+                e=prep_dtype(metadata.youngs_modulus),
+                nu=prep_dtype(metadata.poisson_ratio),
+                sign_threshold=float(options.stress_sign_threshold),
+            ),
+            mesh=device_mesh,
+            in_specs=(
+                spec3, spec3, spec5, spec3, spec3, spec3,
+                spec_e3, P((row_axis, col_axis), None, None, None),
+            ),
+            out_specs=(
+                spec3,
+                spec_e3,
+                P((row_axis, col_axis), None),
+                P((row_axis, col_axis), None),
+                P(),
+            ),
+            check_vma=False,
+        )
+    )
+    shard_e = NamedSharding(device_mesh, P((row_axis, col_axis)))
+    recover_args = (
+        problem.raw,
+        problem.free_g,
+        problem.u_fixed_g,
+        problem.f_g,
+        jax.device_put(jnp.asarray(lidx), shard_e),
+        jax.device_put(jnp.asarray(ecoords, dtype=prep_dtype), shard_e),
+    )
+    return CompiledShardedProblem(
+        kind="stencil2d",
+        problem=problem,
+        run_solver=run_solver,
+        recover=recover,
+        recover_args=recover_args,
+        eids=eids,
+        valid=valid,
+        n_nodes=mesh.num_nodes,
+        n_elements=mesh.num_elements,
+        grid_rows=rows,
+        grid_cols=cols,
+        perm=None,
+        timings=timings,
+        debug_nans=bool(options.debug_nans),
     )

@@ -922,7 +922,7 @@ def prepare_sharded_stencil_problem_2d(
 def _local_pcg_2d(
     reduced, raw, free_g, u_fixed_g, f_g, diag_inv, coarse_levels,
     *, row_axis, col_axis, wrap, rows, cols, rtol, maxiter, preconditioner,
-    impl="auto",
+    impl="auto", history=0,
 ):
     raw_mv = make_halo_stencil_operator_2d(
         raw, row_axis, col_axis, wrap, impl
@@ -952,10 +952,17 @@ def _local_pcg_2d(
     ) * u_fixed_g
     result = pcg(
         op, b, preconditioner=precond, x0=u_fixed_g,
-        rtol=rtol, maxiter=maxiter, dot=dot,
+        rtol=rtol, maxiter=maxiter, dot=dot, history=history,
     )
     ku = raw_mv(result.x)
-    return result.x, ku, result.iterations, result.residual_norm, result.converged
+    return (
+        result.x,
+        ku,
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+        result.history,
+    )
 
 
 def sharded_stencil_pcg_solve_2d(
@@ -964,6 +971,7 @@ def sharded_stencil_pcg_solve_2d(
     maxiter: int = 100_000,
     preconditioner: str = "auto",
     impl: str = "auto",
+    history: int = 0,
 ):
     """2D (rows x cols) sharded PCG. Returns (CGResult, ku) with x, ku
     [2, Rp, Cp] sharded over both axes.
@@ -1020,22 +1028,27 @@ def sharded_stencil_pcg_solve_2d(
                 maxiter=maxiter,
                 preconditioner=preconditioner,
                 impl=impl,
+                history=int(history),
             ),
             mesh=problem.device_mesh,
             in_specs=(
                 spec5, spec5, spec3, spec3, spec3, spec4, coarse_specs,
             ),
-            out_specs=(spec3, spec3, P(), P(), P()),
+            out_specs=(spec3, spec3, P(), P(), P(), P()),
             check_vma=False,
         )
     )
-    x, ku, iters, resnorm, converged = solve(
+    x, ku, iters, resnorm, converged, hist = solve(
         problem.reduced, problem.raw, problem.free_g,
         problem.u_fixed_g, problem.f_g, problem.diag_inv, coarse_levels,
     )
     return (
         CGResult(
-            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+            x=x,
+            iterations=iters,
+            residual_norm=resnorm,
+            converged=converged,
+            history=hist,
         ),
         ku,
     )
@@ -1044,7 +1057,7 @@ def sharded_stencil_pcg_solve_2d(
 def _local_refined_2d(
     reduced64, raw64, free_g, u_fixed_g, f_g, diag_inv64, coarse_levels,
     *, row_axis, col_axis, wrap, rows, cols, rtol, maxiter, preconditioner,
-    impl="auto",
+    impl="auto", history=0,
 ):
     """2D-sharded f64 CG with an f32 preconditioner (multigrid when the
     grid coarsens, block-Jacobi otherwise)."""
@@ -1086,10 +1099,17 @@ def _local_refined_2d(
     ) * u_fixed_g
     result = pcg(
         op, b, preconditioner=precond, x0=u_fixed_g,
-        rtol=rtol, maxiter=maxiter, dot=dot,
+        rtol=rtol, maxiter=maxiter, dot=dot, history=history,
     )
     ku = raw_mv(result.x)
-    return result.x, ku, result.iterations, result.residual_norm, result.converged
+    return (
+        result.x,
+        ku,
+        result.iterations,
+        result.residual_norm,
+        result.converged,
+        result.history,
+    )
 
 
 def sharded_stencil_refined_solve_2d(
@@ -1098,6 +1118,7 @@ def sharded_stencil_refined_solve_2d(
     maxiter: int = 100_000,
     preconditioner: str = "auto",
     impl: str = "auto",
+    history: int = 0,
 ):
     """2D-sharded f64-accurate solve (prepare with dtype=np.float64).
 
@@ -1145,22 +1166,27 @@ def sharded_stencil_refined_solve_2d(
                 maxiter=maxiter,
                 preconditioner=preconditioner,
                 impl=impl,
+                history=int(history),
             ),
             mesh=problem.device_mesh,
             in_specs=(
                 spec5, spec5, spec3, spec3, spec3, spec4, coarse_specs,
             ),
-            out_specs=(spec3, spec3, P(), P(), P()),
+            out_specs=(spec3, spec3, P(), P(), P(), P()),
             check_vma=False,
         )
     )
-    x, ku, iters, resnorm, converged = solve(
+    x, ku, iters, resnorm, converged, hist = solve(
         problem.reduced, problem.raw, problem.free_g,
         problem.u_fixed_g, problem.f_g, problem.diag_inv, coarse_levels,
     )
     return (
         CGResult(
-            x=x, iterations=iters, residual_norm=resnorm, converged=converged
+            x=x,
+            iterations=iters,
+            residual_norm=resnorm,
+            converged=converged,
+            history=hist,
         ),
         ku,
     )

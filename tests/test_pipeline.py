@@ -374,3 +374,91 @@ def test_sharded_explicit_max_diags_honored(device_mesh):
         mesh, bca, MD, opts, device_mesh=device_mesh
     )
     assert compiled.problem.kind == "ell"
+
+
+# ------------------------- 2D (rows x cols) pipeline -------------------------
+
+
+@pytest.fixture(scope="module")
+def device_mesh_2d():
+    assert len(jax.devices()) >= 8
+    return jax.make_mesh((4, 2), ("rows", "cols"))
+
+
+def _annulus_bca(mesh):
+    """Fix the inner ring, pull the outer ring radially in x."""
+    from magnetite_tpu.bc import BCArrays
+
+    n = mesh.num_nodes
+    coords = mesh.coords
+    r = np.hypot(coords[:, 0], coords[:, 1])
+    u_known = np.zeros((n, 2), dtype=bool)
+    u_value = np.zeros((n, 2))
+    inner = np.isclose(r, r.min())
+    outer = np.isclose(r, r.max())
+    u_known[inner] = True
+    u_known[outer, 0] = True
+    u_value[outer, 0] = 0.01
+    return BCArrays(u_known=u_known, u_value=u_value, f_value=np.zeros((n, 2)))
+
+
+def test_2d_pipeline_matches_single_device(device_mesh_2d):
+    """A 2D (rows x cols) device mesh carries the FULL pipeline -- solve +
+    force/stress recovery -- and matches single-chip to 1e-6. Cols (25 over
+    2 shards) exercise the col-padding path; residual_history flows too."""
+    mesh = rect_mesh(48, 24, width=2.0, height=1.0)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    opts = SolverOptions(cg_rtol=1e-10, residual_history=8)
+    res_1 = solve_system(mesh, bca, MD, opts)
+    problem = compile_sharded_problem(
+        mesh, bca, MD, opts, device_mesh=device_mesh_2d
+    )
+    assert problem.kind == "stencil2d"
+    assert problem.timings["operator"] == "stencil-sharded-2d"
+    res_s = problem.solve()
+    _assert_result_parity(res_s, res_1)
+    assert res_s.residual_history.shape == (8,)
+    assert (res_s.residual_history > 0).all()
+
+
+def test_2d_pipeline_wrapped_multigrid(device_mesh_2d):
+    """A wrapped (annulus) grid on the 2D mesh runs the SHARDED 2D
+    multigrid at the single-chip iteration count, with wrap-crossing
+    elements recovered through the periodic col halo."""
+    from magnetite_tpu.meshing.generators import plate_with_hole_mesh
+
+    mesh = plate_with_hole_mesh(32, 64)  # grid (33, 64), wrapped cols
+    assert mesh.wrap_cols
+    bca = _annulus_bca(mesh)
+    opts = SolverOptions(cg_rtol=1e-10)
+    res_1 = solve_system(mesh, bca, MD, opts)
+    res_s = compile_sharded_problem(
+        mesh, bca, MD, opts, device_mesh=device_mesh_2d
+    ).solve()
+    _assert_result_parity(res_s, res_1)
+    # sharded 2D MG must match the single-chip V-cycle convergence
+    assert res_s.iterations == res_1.iterations
+
+
+def test_2d_pipeline_refined(device_mesh_2d):
+    """refine='on' + f32 on the 2D mesh reaches f64-grade residuals (f64
+    CG over the 2D halo operator, f32 preconditioner) and matches the
+    plain f64 single-chip solve."""
+    mesh = rect_mesh(48, 24, width=2.0, height=1.0)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    res_1 = solve_system(mesh, bca, MD, SolverOptions(cg_rtol=1e-10))
+    opts = SolverOptions(cg_rtol=1e-9, dtype="float32", refine="on")
+    res_s = compile_sharded_problem(
+        mesh, bca, MD, opts, device_mesh=device_mesh_2d
+    ).solve()
+    _assert_result_parity(res_s, res_1, rtol=1e-6)
+
+
+def test_2d_pipeline_rejects_unstructured(plate, device_mesh_2d):
+    """Unstructured meshes are node-sharded (1D); a 2D device mesh must
+    raise the typed dispatch error, not fail deep in the stencil prep."""
+    bca = _plate_bca(plate)
+    with pytest.raises(SolverError, match="1D device mesh"):
+        compile_sharded_problem(
+            plate, bca, MD, SolverOptions(), device_mesh=device_mesh_2d
+        )
