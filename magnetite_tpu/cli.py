@@ -95,9 +95,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--shard",
-        action="store_true",
+        nargs="?",
+        const="auto",
+        default=None,
+        metavar="LAYOUT",
         help="run the solve + recovery sharded over every visible device "
-        "(multi-chip pipeline; single-device runs produce identical output)",
+        "(multi-chip pipeline; single-device runs produce identical "
+        "output). Optional LAYOUT 'RxC' (e.g. '2x4') lays structured "
+        "grids over a 2D ICI torus; default 'auto' is a 1D mesh",
     )
     parser.add_argument(
         "--save-case",
@@ -239,13 +244,17 @@ def entry(argv=None) -> None:
             if args.shard:
                 from .parallel.pipeline import (
                     compile_sharded_problem,
-                    default_device_mesh,
+                    parse_device_mesh,
                 )
 
-                device_mesh = default_device_mesh()
+                device_mesh = parse_device_mesh(args.shard)
+                layout = "x".join(
+                    str(device_mesh.shape[a])
+                    for a in device_mesh.axis_names
+                )
                 log(
                     f"info: sharding the solve over "
-                    f"{len(jax.devices())} device(s)"
+                    f"{len(jax.devices())} device(s) ({layout})"
                 )
                 problem = compile_sharded_problem(
                     mesh, bca, sim.metadata, options,

@@ -51,6 +51,42 @@ def default_device_mesh(axis: str = AXIS) -> Mesh:
     return jax.make_mesh((len(jax.devices()),), (axis,))
 
 
+def parse_device_mesh(layout: str) -> Mesh:
+    """Build a device mesh from a CLI layout string.
+
+    "auto" (or "") -> the 1D mesh over every visible device; "RxC" (e.g.
+    "2x4") -> a 2D rows x cols mesh for torus-sharded structured grids.
+    R*C must equal the visible device count."""
+    from ..errors import InputError
+
+    layout = (layout or "auto").strip().lower()
+    if layout in ("auto", "1d"):
+        return default_device_mesh()
+    parts = layout.split("x")
+    if len(parts) != 2:
+        raise InputError(
+            f"invalid --shard layout {layout!r}: expected 'auto' or 'RxC' "
+            "(e.g. '2x4')"
+        )
+    try:
+        n_r, n_c = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise InputError(
+            f"invalid --shard layout {layout!r}: R and C must be integers"
+        ) from None
+    if n_r < 1 or n_c < 1:
+        raise InputError(
+            f"invalid --shard layout {layout!r}: R and C must be >= 1"
+        )
+    n_dev = len(jax.devices())
+    if n_r * n_c != n_dev:
+        raise InputError(
+            f"--shard layout {layout!r} needs {n_r * n_c} devices but "
+            f"{n_dev} are visible"
+        )
+    return jax.make_mesh((n_r, n_c), ("rows", "cols"))
+
+
 # ------------------------- sharded stress recovery --------------------------
 
 

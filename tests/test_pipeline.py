@@ -462,3 +462,132 @@ def test_2d_pipeline_rejects_unstructured(plate, device_mesh_2d):
         compile_sharded_problem(
             plate, bca, MD, SolverOptions(), device_mesh=device_mesh_2d
         )
+
+
+def test_parse_device_mesh_layouts():
+    """CLI --shard LAYOUT strings map to device meshes; bad layouts raise
+    typed InputErrors before any solve work."""
+    from magnetite_tpu.errors import InputError
+    from magnetite_tpu.parallel.pipeline import parse_device_mesh
+
+    dm = parse_device_mesh("auto")
+    assert len(dm.axis_names) == 1
+    assert dm.devices.size == len(jax.devices())
+    dm2 = parse_device_mesh("4x2")
+    assert dm2.axis_names == ("rows", "cols")
+    assert dm2.shape["rows"] == 4 and dm2.shape["cols"] == 2
+    with pytest.raises(InputError, match="devices"):
+        parse_device_mesh("3x2")
+    with pytest.raises(InputError, match="layout"):
+        parse_device_mesh("axb")
+    with pytest.raises(InputError, match="layout"):
+        parse_device_mesh("2x2x2")
+    with pytest.raises(InputError, match=">= 1"):
+        parse_device_mesh("0x8")
+
+
+def test_cli_shard_2d_layout_writes_identical_csvs(tmp_path):
+    """`--shard 4x2` resumes a checkpointed structured grid over a 2D
+    device layout from the CLI and writes CSVs matching the plain run."""
+    import os
+
+    from magnetite_tpu.persist import save_case
+
+    root = Path(__file__).resolve().parents[1]
+    mesh = rect_mesh(48, 24, width=2.0, height=1.0)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    case = str(tmp_path / "case.npz")
+    save_case(case, mesh, bca, metadata=MD)
+    inp = tmp_path / "input.json"
+    inp.write_text(
+        """
+{
+  "metadata": {"part_thickness": 0.5, "material_elasticity": 69000000000,
+               "poisson_ratio": 0.33,
+               "characteristic_length_min": 0.0,
+               "characteristic_length_max": 0.03},
+  "boundary_conditions": {}
+}
+"""
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    outs = {}
+    for tag, extra in (("plain", []), ("shard2d", ["--shard", "4x2"])):
+        outdir = tmp_path / tag
+        outdir.mkdir()
+        cmd = [
+            sys.executable, "-m", "magnetite_tpu.cli",
+            str(inp), "--load-case", case,
+            "--skip", "--precision", "f64",
+            "--out-dir", str(outdir),
+        ] + extra
+        proc = subprocess.run(
+            cmd, cwd=root, env=env, capture_output=True, text=True,
+            timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr
+        if tag == "shard2d":
+            assert "(4x2)" in proc.stderr + proc.stdout
+        outs[tag] = (
+            (outdir / "nodes.csv").read_text(),
+            (outdir / "elements.csv").read_text(),
+        )
+
+    def parse(text):
+        lines = text.strip().splitlines()
+        return lines[0], np.array(
+            [[float(v) for v in ln.split(",")] for ln in lines[1:]]
+        )
+
+    for i in range(2):
+        h_p, a_p = parse(outs["plain"][i])
+        h_s, a_s = parse(outs["shard2d"][i])
+        assert h_p == h_s
+        scale = max(np.abs(a_p).max(), 1e-30)
+        np.testing.assert_allclose(a_s, a_p, atol=1e-6 * scale)
+
+
+def test_cli_shard_bad_layout_exits_typed(tmp_path):
+    """A --shard layout that doesn't match the device count must exit 1
+    with the CLI's `Received error:` contract, not a traceback."""
+    import os
+
+    from magnetite_tpu.persist import save_case
+
+    root = Path(__file__).resolve().parents[1]
+    mesh = rect_mesh(8, 4)
+    bca = tensile_bcs_for_rect(mesh.coords)
+    case = str(tmp_path / "case.npz")
+    save_case(case, mesh, bca, metadata=MD)
+    inp = tmp_path / "input.json"
+    inp.write_text(
+        """
+{
+  "metadata": {"part_thickness": 0.5, "material_elasticity": 69000000000,
+               "poisson_ratio": 0.33,
+               "characteristic_length_min": 0.0,
+               "characteristic_length_max": 0.03},
+  "boundary_conditions": {}
+}
+"""
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    ).strip()
+    proc = subprocess.run(
+        [
+            sys.executable, "-m", "magnetite_tpu.cli",
+            str(inp), "--load-case", case, "--skip",
+            "--shard", "3x2",
+        ],
+        cwd=root, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 1
+    assert "Received error:" in proc.stderr + proc.stdout
+    assert "devices" in proc.stderr + proc.stdout
