@@ -95,14 +95,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--shard",
-        nargs="?",
-        const="auto",
-        default=None,
-        metavar="LAYOUT",
+        action="store_true",
         help="run the solve + recovery sharded over every visible device "
-        "(multi-chip pipeline; single-device runs produce identical "
-        "output). Optional LAYOUT 'RxC' (e.g. '2x4') lays structured "
-        "grids over a 2D ICI torus; default 'auto' is a 1D mesh",
+        "(multi-chip pipeline; single-device runs produce identical output)",
+    )
+    parser.add_argument(
+        "--shard-layout",
+        default=None,
+        metavar="RxC",
+        help="device-mesh layout for --shard (implies it): 'auto' is a 1D "
+        "mesh over every device; 'RxC' (e.g. '2x4') lays structured grids "
+        "over a 2D rows x cols ICI torus",
     )
     parser.add_argument(
         "--save-case",
@@ -121,6 +124,8 @@ def entry(argv=None) -> None:
     import os
 
     args = build_parser().parse_args(argv)
+    if args.shard_layout is not None:
+        args.shard = True
 
     # Heavy imports deferred so --help stays fast.
     import jax
@@ -247,7 +252,7 @@ def entry(argv=None) -> None:
                     parse_device_mesh,
                 )
 
-                device_mesh = parse_device_mesh(args.shard)
+                device_mesh = parse_device_mesh(args.shard_layout or "auto")
                 layout = "x".join(
                     str(device_mesh.shape[a])
                     for a in device_mesh.axis_names

@@ -112,6 +112,17 @@ def _build_recovery(tris, coords, n_shards: int, local_n: int):
             f"stress-recovery halo {halo} exceeds the shard size {local_n}; "
             "use fewer shards for this mesh"
         )
+    lflat = tris64 - (owner * local_n)[:, None] + halo
+    return _bucket_elements(owner, lflat, tris, coords, n_shards) + (halo,)
+
+
+def _bucket_elements(owner, lflat, tris, coords, n_shards: int):
+    """Shared bucketing tail for the recovery builders: group elements by
+    owning shard into padded [S, Emax] arrays.
+
+    `owner` [E] is each element's shard; `lflat` [E,3] its nodes' indices
+    into that shard's halo-extended local solution. Returns (eids, valid,
+    lidx, ecoords)."""
     counts = np.bincount(owner, minlength=n_shards)
     emax = max(int(counts.max()), 1)
     order = np.argsort(owner, kind="stable")
@@ -130,9 +141,9 @@ def _build_recovery(tris, coords, n_shards: int, local_n: int):
         pos += c
         eids[s, :c] = ids
         valid[s, :c] = True
-        lidx[s, :c] = (tris64[ids] - s * local_n + halo).astype(np.int32)
+        lidx[s, :c] = lflat[ids].astype(np.int32)
         ecoords[s, :c] = coords[tris[ids]]
-    return eids, valid, lidx, ecoords, halo
+    return eids, valid, lidx, ecoords
 
 
 def _local_sigma(u_ext, lidx, ecoords, e, nu, sign_threshold):
@@ -237,28 +248,7 @@ def _build_recovery_2d(tris, coords, rows, cols, wrap, n_r, n_c, rl, cl):
     lr = er - (owner_r * rl)[:, None] + 1  # in [1, rl+1]
     lc = (anchor_c - owner_c * cl)[:, None] + dc + 1  # in [1, cl+1]
     lflat = lr * (cl + 2) + lc
-
-    n_shards = n_r * n_c
-    counts = np.bincount(owner, minlength=n_shards)
-    emax = max(int(counts.max()), 1)
-    order = np.argsort(owner, kind="stable")
-    eids = np.zeros((n_shards, emax), dtype=np.int64)
-    valid = np.zeros((n_shards, emax), dtype=bool)
-    lidx = np.zeros((n_shards, emax, 3), dtype=np.int32)
-    ecoords = np.zeros((n_shards, emax, 3, 2))
-    # pad elements: dummy unit right triangle at extended index 0 (masked)
-    ecoords[..., 1, 0] = 1.0
-    ecoords[..., 2, 1] = 1.0
-    pos = 0
-    for s in range(n_shards):
-        c = int(counts[s])
-        ids = order[pos : pos + c]
-        pos += c
-        eids[s, :c] = ids
-        valid[s, :c] = True
-        lidx[s, :c] = lflat[ids].astype(np.int32)
-        ecoords[s, :c] = coords[tris[ids]]
-    return eids, valid, lidx, ecoords
+    return _bucket_elements(owner, lflat, tris, coords, n_r * n_c)
 
 
 def _stencil_recover_local_2d(
@@ -297,7 +287,7 @@ class CompiledShardedProblem:
     (results in the caller's original node order).
     """
 
-    kind: str  # "stencil" | "dia"
+    kind: str  # "stencil" | "stencil2d" | "dia"
     problem: object
     run_solver: object  # () -> (CGResult, ku)
     recover: object  # jitted shard_map
@@ -390,6 +380,66 @@ class CompiledShardedProblem:
         )
 
 
+def _require_constraints(bca: BCArrays) -> None:
+    if not bca.u_known.any():
+        raise SolverError(
+            "model has no prescribed displacements; stiffness system is "
+            "singular"
+        )
+
+
+def _precision_plan(options: SolverOptions, *, use_stencil: bool):
+    """Shared precision/refinement derivation for every sharded path.
+
+    Mirrors the single-chip rules (fem/solve.py): refine="auto" engages
+    only for the stencil operator (scatter-free f64 assembly is cheap
+    there; irregular-format f64 prep is a compile/memory jump unstructured
+    users opt into explicitly with refine="on"). The non-refined f32
+    solvers clamp sub-floor rtols themselves, logging the same warning as
+    the single-chip path. Returns (rtol, refined, prep_dtype)."""
+    from ..fem.solve import _f32_rtol_floor, default_dtype
+
+    dtype = default_dtype(options)
+    x64 = bool(jax.config.jax_enable_x64)
+    rtol = float(options.cg_rtol)
+    if options.refine == "on" and not x64:
+        raise SolverError(
+            "refine='on' requires jax_enable_x64 (f64 residuals)"
+        )
+    refined = options.refine == "on" or (
+        options.refine == "auto"
+        and use_stencil
+        and x64
+        and dtype == np.float32
+        and rtol < _f32_rtol_floor()
+    )
+    prep_dtype = (
+        np.float64 if (refined or dtype == np.float64) else np.float32
+    )
+    return rtol, refined, prep_dtype
+
+
+def _stencil_precond(options: SolverOptions) -> str:
+    """Validate/normalize the preconditioner flag for sharded stencil
+    solves (both 1D and 2D layouts): reject 'amg', downgrade 'jacobi'
+    to block_jacobi with the warning the single-chip path logs."""
+    precond = options.preconditioner
+    if precond == "amg":
+        raise SolverError(
+            "amg preconditioner applies to unstructured operators; "
+            "structured sharded solves use 'multigrid'"
+        )
+    if precond == "jacobi":
+        from ..utils.logging import log
+
+        log(
+            "warning: sharded stencil solves do not implement "
+            "preconditioner='jacobi'; using block_jacobi"
+        )
+        precond = "block_jacobi"
+    return precond
+
+
 def _is_grid_local(mesh: FemMesh) -> bool:
     if mesh.grid_shape is None:
         return False
@@ -478,17 +528,11 @@ def _compile_sharded(
     device_mesh: Mesh,
     amg_setup,
 ) -> CompiledShardedProblem:
-    from ..fem.solve import _f32_rtol_floor, default_dtype
-
     axis = device_mesh.axis_names[0]
     n_shards = int(device_mesh.shape[axis])
     timings: dict = {}
 
-    if not bca.u_known.any():
-        raise SolverError(
-            "model has no prescribed displacements; stiffness system is "
-            "singular"
-        )
+    _require_constraints(bca)
     if options.operator in ("ell", "hybrid"):
         raise SolverError(
             f"operator='{options.operator}' has no sharded pipeline; use "
@@ -505,26 +549,8 @@ def _compile_sharded(
             "unavailable"
         )
 
-    dtype = default_dtype(options)
-    x64 = bool(jax.config.jax_enable_x64)
-    rtol = float(options.cg_rtol)
-    if options.refine == "on" and not x64:
-        raise SolverError("refine='on' requires jax_enable_x64 (f64 residuals)")
-    # refine="auto" engages only for the stencil operator, mirroring the
-    # single-chip rule (fem/solve.py): the scatter-free stencil assembly is
-    # cheap in f64, while irregular-format f64 prep is a compile/memory
-    # jump unstructured users opt into explicitly with refine="on". The
-    # non-refined f32 solvers clamp sub-floor rtols themselves (with the
-    # same warning the single-chip path logs).
-    refined = options.refine == "on" or (
-        options.refine == "auto"
-        and use_stencil
-        and x64
-        and dtype == np.float32
-        and rtol < _f32_rtol_floor()
-    )
-    prep_dtype = (
-        np.float64 if (refined or dtype == np.float64) else np.float32
+    rtol, refined, prep_dtype = _precision_plan(
+        options, use_stencil=use_stencil
     )
 
     e = metadata.youngs_modulus
@@ -551,20 +577,7 @@ def _compile_sharded(
             mesh.tris, mesh.coords, n_shards, local_n
         )
 
-        precond = options.preconditioner
-        if precond in ("amg",):
-            raise SolverError(
-                "amg preconditioner applies to unstructured operators; "
-                "structured sharded solves use 'multigrid'"
-            )
-        if precond == "jacobi":
-            from ..utils.logging import log
-
-            log(
-                "warning: sharded stencil solves do not implement "
-                "preconditioner='jacobi'; using block_jacobi"
-            )
-            precond = "block_jacobi"
+        precond = _stencil_precond(options)
         if refined:
             run_solver = partial(
                 sharded_stencil_refined_solve,
@@ -781,7 +794,6 @@ def _compile_sharded_2d(
     stencil_shard's 2D halo machinery, so halo traffic rides both ICI
     torus axes. The device mesh's FIRST axis shards grid rows, the second
     grid cols."""
-    from ..fem.solve import _f32_rtol_floor, default_dtype
     from .stencil_shard import (
         prepare_sharded_stencil_problem_2d,
         sharded_stencil_pcg_solve_2d,
@@ -793,11 +805,7 @@ def _compile_sharded_2d(
     n_c = int(device_mesh.shape[col_axis])
     timings: dict = {}
 
-    if not bca.u_known.any():
-        raise SolverError(
-            "model has no prescribed displacements; stiffness system is "
-            "singular"
-        )
+    _require_constraints(bca)
     if options.operator not in ("auto", "stencil") or not _is_grid_local(
         mesh
     ):
@@ -807,35 +815,8 @@ def _compile_sharded_2d(
             "DIA/AMG)"
         )
 
-    dtype = default_dtype(options)
-    x64 = bool(jax.config.jax_enable_x64)
-    rtol = float(options.cg_rtol)
-    if options.refine == "on" and not x64:
-        raise SolverError("refine='on' requires jax_enable_x64 (f64 residuals)")
-    refined = options.refine == "on" or (
-        options.refine == "auto"
-        and x64
-        and dtype == np.float32
-        and rtol < _f32_rtol_floor()
-    )
-    prep_dtype = (
-        np.float64 if (refined or dtype == np.float64) else np.float32
-    )
-
-    precond = options.preconditioner
-    if precond == "amg":
-        raise SolverError(
-            "amg preconditioner applies to unstructured operators; "
-            "structured sharded solves use 'multigrid'"
-        )
-    if precond == "jacobi":
-        from ..utils.logging import log
-
-        log(
-            "warning: sharded stencil solves do not implement "
-            "preconditioner='jacobi'; using block_jacobi"
-        )
-        precond = "block_jacobi"
+    rtol, refined, prep_dtype = _precision_plan(options, use_stencil=True)
+    precond = _stencil_precond(options)
 
     t0 = time.perf_counter()
     problem = prepare_sharded_stencil_problem_2d(

@@ -465,7 +465,7 @@ def test_2d_pipeline_rejects_unstructured(plate, device_mesh_2d):
 
 
 def test_parse_device_mesh_layouts():
-    """CLI --shard LAYOUT strings map to device meshes; bad layouts raise
+    """CLI --shard-layout strings map to device meshes; bad layouts raise
     typed InputErrors before any solve work."""
     from magnetite_tpu.errors import InputError
     from magnetite_tpu.parallel.pipeline import parse_device_mesh
@@ -487,7 +487,7 @@ def test_parse_device_mesh_layouts():
 
 
 def test_cli_shard_2d_layout_writes_identical_csvs(tmp_path):
-    """`--shard 4x2` resumes a checkpointed structured grid over a 2D
+    """`--shard-layout 4x2` resumes a checkpointed structured grid over a 2D
     device layout from the CLI and writes CSVs matching the plain run."""
     import os
 
@@ -516,7 +516,7 @@ def test_cli_shard_2d_layout_writes_identical_csvs(tmp_path):
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
     ).strip()
     outs = {}
-    for tag, extra in (("plain", []), ("shard2d", ["--shard", "4x2"])):
+    for tag, extra in (("plain", []), ("shard2d", ["--shard-layout", "4x2"])):
         outdir = tmp_path / tag
         outdir.mkdir()
         cmd = [
@@ -552,7 +552,7 @@ def test_cli_shard_2d_layout_writes_identical_csvs(tmp_path):
 
 
 def test_cli_shard_bad_layout_exits_typed(tmp_path):
-    """A --shard layout that doesn't match the device count must exit 1
+    """A --shard-layout that doesn't match the device count must exit 1
     with the CLI's `Received error:` contract, not a traceback."""
     import os
 
@@ -584,7 +584,7 @@ def test_cli_shard_bad_layout_exits_typed(tmp_path):
         [
             sys.executable, "-m", "magnetite_tpu.cli",
             str(inp), "--load-case", case, "--skip",
-            "--shard", "3x2",
+            "--shard-layout", "3x2",
         ],
         cwd=root, env=env, capture_output=True, text=True, timeout=600,
     )
