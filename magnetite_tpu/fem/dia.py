@@ -117,19 +117,34 @@ class HybridStructure:
 def build_hybrid_structure(
     tris: np.ndarray, n_nodes: int, max_diags: int = 48
 ) -> HybridStructure:
-    """Band + remainder pattern: top-`max_diags` offsets by coupling count."""
+    """Band + remainder pattern: top offsets by coupling count, chosen in
+    SIGN-SYMMETRIC +/- pairs (every offset appears with its mirror and the
+    mirror's count is identical -- ordered pair enumeration). Symmetry is
+    what lets the upload/persist layer ship only the d >= 0 half of the
+    assembled bands (fem/solve._upload_flat_device) and reconstruct the
+    rest on device; a count-only top-K can split a pair at the cutoff."""
     tris = np.asarray(tris, dtype=np.int64)
     rows = np.repeat(tris, 3, axis=1).reshape(-1)
     cols = np.tile(tris, (1, 3)).reshape(-1)
     offs = cols - rows
     uniq, inverse, counts = np.unique(offs, return_inverse=True, return_counts=True)
 
-    zero_pos = np.searchsorted(uniq, 0)
-    order = np.argsort(-counts)
-    chosen = order[:max_diags]
-    if zero_pos not in chosen:
-        chosen = np.concatenate([[zero_pos], chosen[: max_diags - 1]])
-    chosen_offsets = np.sort(uniq[chosen])
+    nonneg = np.where(uniq >= 0)[0]
+    ranked = nonneg[np.argsort(-counts[nonneg], kind="stable")]
+    budget = int(max_diags)
+    chosen_list = []
+    for idx in ranked:
+        off = int(uniq[idx])
+        cost = 1 if off == 0 else 2
+        if budget < cost:
+            continue
+        chosen_list.append(off)
+        if off != 0:
+            chosen_list.append(-off)
+        budget -= cost
+    if 0 not in chosen_list:  # diagonal blocks always exist; keep offset 0
+        chosen_list = [0] + chosen_list[: max_diags - 1]
+    chosen_offsets = np.sort(np.array(chosen_list, dtype=uniq.dtype))
 
     in_band = np.isin(uniq, chosen_offsets)[inverse]
     d_idx = np.searchsorted(chosen_offsets, offs)

@@ -178,3 +178,86 @@ def test_keep_operator_host_defaults_off(plate):
         plate, bca, MD, SolverOptions(dtype="float64", cg_rtol=1e-10)
     )
     assert problem.operator_host is None
+
+
+def test_symmetric_half_upload_matches_full(plate):
+    """_upload_flat_device ships only the d >= 0 band slots and rebuilds
+    the negative bands on device from block symmetry; the result must
+    match the full-flat relayout to ~ulp (the C++ assembly's mirrored
+    blocks commute products, so they agree to rounding, not bitwise)."""
+    from magnetite_tpu.fem import solve as S
+    from magnetite_tpu.fem.dia import (
+        build_dia_structure,
+        build_hybrid_structure,
+    )
+    from magnetite_tpu.meshing.reorder import renumber
+
+    mesh = renumber(plate)[0]
+    n = mesh.num_nodes
+    f64 = np.dtype(np.float64)
+
+    st = build_dia_structure(mesh.tris, n)
+    assert st is not None
+    flat = S._assemble_host_flat("dia", st, mesh, None, st.slot_ids, MD)
+    (bands,) = S._upload_flat_device("dia", st, n, None, flat, f64)
+    d = len(st.offsets)
+    full = flat[: d * n].reshape(d, n, 2, 2).transpose(0, 2, 3, 1)
+    scale = np.abs(full).max()
+    np.testing.assert_allclose(np.asarray(bands), full, atol=1e-12 * scale)
+
+    # hybrid with a NON-EMPTY remainder: starve the band budget
+    hyb = build_hybrid_structure(mesh.tris, n, max_diags=7)
+    assert hyb.n_rem > 0
+    cols = np.stack([hyb.rem_rows, hyb.rem_cols])
+    flat_h = S._assemble_host_flat("hybrid", hyb, mesh, cols, hyb.slot_ids, MD)
+    bands_h, rem_h = S._upload_flat_device("hybrid", hyb, n, cols, flat_h, f64)
+    dh = len(hyb.offsets)
+    full_h = flat_h[: dh * n].reshape(dh, n, 2, 2).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(
+        np.asarray(bands_h), full_h, atol=1e-12 * scale
+    )
+    np.testing.assert_allclose(
+        np.asarray(rem_h), flat_h[dh * n :].reshape(-1, 2, 2), rtol=0, atol=0
+    )
+
+
+def test_hybrid_band_selection_is_sign_symmetric(plate):
+    """Every chosen offset must come with its mirror at ANY max_diags --
+    the halved upload depends on it (and the mirror's coupling count is
+    identical, so symmetry never costs coverage)."""
+    from magnetite_tpu.fem.dia import build_hybrid_structure
+
+    for md in (3, 7, 12, 48):
+        hyb = build_hybrid_structure(plate.tris, plate.num_nodes, max_diags=md)
+        offs = set(int(o) for o in hyb.offsets)
+        assert 0 in offs
+        assert len(offs) <= md
+        assert all(-o in offs for o in offs)
+
+
+def test_asymmetric_offsets_fall_back_to_full_upload(plate):
+    """A sign-asymmetric offset set (legacy persisted structures) must
+    take the full-flat upload path and still produce correct bands."""
+    from dataclasses import replace as dreplace
+
+    from magnetite_tpu.fem import solve as S
+    from magnetite_tpu.fem.dia import DiaStructure, build_dia_structure
+    from magnetite_tpu.meshing.reorder import renumber
+
+    mesh = renumber(plate)[0]
+    n = mesh.num_nodes
+    st = build_dia_structure(mesh.tris, n)
+    flat = S._assemble_host_flat("dia", st, mesh, None, st.slot_ids, MD)
+    d = len(st.offsets)
+    # drop the most-positive band: its negative mirror loses its pair
+    st_asym = DiaStructure(
+        offsets=st.offsets[: d - 1],
+        slot_ids=st.slot_ids,
+        n_nodes=n,
+        n_diags=d - 1,
+    )
+    (bands,) = S._upload_flat_device(
+        "dia", st_asym, n, None, flat[: (d - 1) * n], np.dtype(np.float64)
+    )
+    full = flat[: (d - 1) * n].reshape(d - 1, n, 2, 2).transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(bands), full, rtol=0, atol=0)
