@@ -26,7 +26,7 @@ import numpy as np
 
 from ..bc import BCArrays
 from ..config import ModelMetadata, SolverOptions
-from ..errors import SolverError
+from ..errors import InputError, SolverError
 from ..meshing.core import Mesh
 from .assembly import (
     assemble_dense,
@@ -586,6 +586,10 @@ class OperatorCache:
     flat: np.ndarray  # [n_slots, 4] f64 slot-major assembled values
     cols: Optional[np.ndarray]  # hybrid rem idx [2, R] / ell cols [n, w]
     perm: Optional[np.ndarray]  # renumbering applied at compile, if any
+    # True: `flat` holds only the d >= 0 band slots (+ hybrid remainder);
+    # the negative bands rebuild on device from block symmetry. Halves
+    # the pinned host copy, the npz on disk, and the tunnel upload.
+    sym_half: bool = False
 
     def matches(self, mesh_hash: str, metadata) -> bool:
         mat = (
@@ -671,10 +675,25 @@ def _assemble_host_device(
     )
 
 
-def _upload_flat_device(mode: str, params, n, cols, flat, upload_dtype):
+def _sym_half_offsets(mode: str, params) -> Optional[tuple]:
+    """The negative band offsets when the symmetric-half layout applies
+    (dia/hybrid with a sign-symmetric offset set), else None."""
+    if mode not in ("dia", "hybrid"):
+        return None
+    offsets = tuple(int(o) for o in params.offsets)
+    neg = tuple(o for o in offsets if o < 0)
+    if neg and all(-o in offsets for o in neg):
+        return neg
+    return None
+
+
+def _upload_flat_device(
+    mode: str, params, n, cols, flat, upload_dtype, flat_is_half=False
+):
     """Upload a slot-major flat assembly + relay out on device (see
     `_assemble_host_device`); also the resume path for a matching
-    persisted OperatorCache.
+    persisted OperatorCache (whose `flat` may already be the half slice:
+    `flat_is_half`).
 
     Symmetric-half upload (dia/hybrid): the unreduced stiffness is
     block-symmetric, so ``band(-off)[i] = band(+off)[i - off]^T`` exactly
@@ -685,21 +704,22 @@ def _upload_flat_device(mode: str, params, n, cols, flat, upload_dtype):
     (~656 MB -> ~336 MB f64 at 1M elements) and the negative bands are
     rebuilt on device with static rolls + 2x2 transposes (milliseconds).
     Falls back to the full upload when any negative offset lacks its
-    mirror (sign-asymmetric hybrid band selection).
+    mirror (sign-asymmetric legacy hybrid band selections).
     """
     from ..utils.transfer import chunked_device_put
 
     offsets = tuple(int(o) for o in params.offsets) if mode != "ell" else ()
-    neg = [o for o in offsets if o < 0]
-    sym_half = (
-        mode in ("dia", "hybrid")
-        and bool(neg)
-        and all(-o in offsets for o in neg)
-    )
-    if sym_half:
+    neg = _sym_half_offsets(mode, params) or ()
+    if flat_is_half and not neg:
+        raise InputError(
+            "operator cache holds a symmetric-half assembly but the offset "
+            "set is not sign-symmetric; the cache file is corrupt"
+        )
+    if neg:
         d, d0 = len(offsets), len(neg)
         pos_offsets = offsets[d0:]
-        half = flat[d0 * n :]  # contiguous: pos bands (+ hybrid remainder)
+        # contiguous: pos bands (+ hybrid remainder)
+        half = flat if flat_is_half else flat[d0 * n :]
         if half.dtype != upload_dtype:
             half = half.astype(upload_dtype)
         half_d = chunked_device_put(half)
@@ -1356,24 +1376,37 @@ def compile_problem(
     operator_host = None
     if mode in ("dia", "hybrid", "ell"):
         t0 = time.perf_counter()
+        resumed_op = (
+            operator_cache is not None and mode == operator_cache.mode
+        )
         flat_host = (
             operator_cache.flat
-            if operator_cache is not None and mode == operator_cache.mode
+            if resumed_op
             else _assemble_host_flat(
                 mode, params, mesh, cols, slot_ids, metadata
             )
         )
+        flat_is_half = bool(resumed_op and operator_cache.sym_half)
         timings["assemble_build_s"] = time.perf_counter() - t0
         if flat_host is not None:
             t_up = time.perf_counter()
             assembled = _upload_flat_device(
-                mode, params, n, cols, flat_host, upload_dtype
+                mode, params, n, cols, flat_host, upload_dtype,
+                flat_is_half=flat_is_half,
             )
             jax.block_until_ready(assembled)
             # upload timed apart from the host build: the shared-TPU
             # tunnel's bandwidth varies run to run, the host pass does not
             timings["assemble_upload_s"] = time.perf_counter() - t_up
             if input_mesh_hash is not None and options.keep_operator_host:
+                # keep only the d >= 0 half when symmetry allows: halves
+                # the pinned host memory (and persist.save_operator bytes)
+                neg = _sym_half_offsets(mode, params)
+                flat_keep = np.asarray(flat_host)
+                keep_half = flat_is_half
+                if neg and not flat_is_half:
+                    flat_keep = flat_keep[len(neg) * n :].copy()
+                    keep_half = True
                 operator_host = OperatorCache(
                     mesh_hash=input_mesh_hash,
                     material=(
@@ -1385,11 +1418,12 @@ def compile_problem(
                     offsets=tuple(params.offsets)
                     if params is not None
                     else (),
-                    flat=np.asarray(flat_host),
+                    flat=flat_keep,
                     cols=np.asarray(cols)
                     if mode in ("hybrid", "ell")
                     else None,
                     perm=perm,
+                    sym_half=keep_half,
                 )
         else:
             assembled = _assembly_core(spec.mode, spec.params)(

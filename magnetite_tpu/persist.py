@@ -198,8 +198,9 @@ def save_operator(path: str, problem) -> None:
     hash. A matching `compile_problem(..., operator_cache=...)` skips
     structure build, renumbering, and the C++ assembly -- at 1M elements
     the resumed prep becomes one chunked upload. Uncompressed on purpose:
-    the payload is ~650 MB of f64 that deflates poorly but costs many
-    seconds of one-core (de)compression."""
+    the payload is ~330 MB of f64 (the symmetric d >= 0 half when the
+    offsets allow; see fem/solve.OperatorCache.sym_half) that deflates
+    poorly but costs many seconds of one-core (de)compression."""
     op = getattr(problem, "operator_host", None) or problem
     if not hasattr(op, "flat"):
         raise InputError(
@@ -215,6 +216,7 @@ def save_operator(path: str, problem) -> None:
         "op_mode": np.asarray(op.mode),
         "op_offsets": np.asarray(op.offsets, dtype=np.int64),
         "op_flat": op.flat,
+        "op_sym_half": np.bool_(getattr(op, "sym_half", False)),
     }
     if op.cols is not None:
         data["op_cols"] = np.asarray(op.cols, dtype=np.int32)
@@ -240,6 +242,7 @@ def load_operator(path: str):
         flat=data["op_flat"],
         cols=data.get("op_cols"),
         perm=data.get("op_perm"),
+        sym_half=bool(data.get("op_sym_half", False)),
     )
 
 

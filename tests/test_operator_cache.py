@@ -261,3 +261,29 @@ def test_asymmetric_offsets_fall_back_to_full_upload(plate):
     )
     full = flat[: (d - 1) * n].reshape(d - 1, n, 2, 2).transpose(0, 2, 3, 1)
     np.testing.assert_allclose(np.asarray(bands), full, rtol=0, atol=0)
+
+
+def test_saved_operator_holds_half_payload(plate, tmp_path):
+    """save_operator must persist only the d >= 0 slots when offsets are
+    sign-symmetric (half the disk bytes / resumed upload at scale), and a
+    resume from that file must reproduce the fresh solve exactly."""
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    fresh = compile_problem(plate, bca, MD, OPTS)
+    op = fresh.operator_host
+    assert op is not None and op.mode in ("dia", "hybrid")
+    offsets = op.offsets
+    n_pos = sum(1 for o in offsets if o >= 0)
+    assert op.sym_half
+    # flat rows = pos-band slots (+ any hybrid remainder): strictly fewer
+    # rows than a full d-band layout would hold
+    assert n_pos < len(offsets)
+    path = str(tmp_path / "half.op.npz")
+    save_operator(path, fresh)
+    cache = load_operator(path)
+    assert cache.sym_half
+    assert cache.flat.shape == op.flat.shape
+    resumed = compile_problem(plate, bca, MD, OPTS, operator_cache=cache)
+    assert resumed.timings.get("operator_cache") == "hit"
+    np.testing.assert_allclose(
+        resumed.solve().u, fresh.solve().u, rtol=0, atol=0
+    )
