@@ -505,6 +505,16 @@ class AMGSetup:
     coarse_ops[l-1] for l >= 1: (a_cols [n_l, w], a_vals [n_l, w, m, m],
                                  diag_inv [n_l, m, m])
     coarsest_inv: dense pseudo-inverse of the last level (or None).
+
+    fast0: gather-light FACTORED form of the level-0 transfer, or None.
+    P = (I - omega D^-1 A) P0 is never materialized at level 0 by the
+    device V-cycle when this is present; instead P/P^T applies ride the
+    solver's fast band matvec (see make_amg_preconditioner). Contents:
+      (agg [n0] int32            -- aggregate id per fine node,
+       p0_block [n0, 2, 3]       -- each node's single tentative block,
+       pt0_cols [n1, w0] int32   -- member fine nodes per aggregate (ELL),
+       pt0_vals [n1, w0, 3, 2]   -- transposed tentative blocks,
+       dinv0w [n0, 2, 2]         -- omega * D^-1 (smoothing pre-folded)).
     """
 
     transfers: list
@@ -513,6 +523,33 @@ class AMGSetup:
     level_sizes: list  # [(n_l, m_l)]
     setup_info: dict
     fingerprint: Optional[str] = None
+    fast0: Optional[tuple] = None
+
+
+def _fast0_arrays(agg, p0_block, diag_inv, omega, n_agg):
+    """Factored level-0 transfer arrays (see AMGSetup.fast0).
+
+    P0^T is stored as a tiny ELL over COARSE rows (width = max aggregate
+    size, bounded by _MAX_AGG_SIZE) so the device restriction is a gather
+    of the fine residual instead of a scatter."""
+    n = p0_block.shape[0]
+    counts = np.bincount(agg, minlength=n_agg)
+    w0 = max(int(counts.max()) if counts.size else 1, 1)
+    order = np.argsort(agg, kind="stable")
+    starts = np.searchsorted(agg[order], np.arange(n_agg))
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[order] = np.arange(n) - starts[agg[order]]
+    pt0_cols = np.zeros((n_agg, w0), dtype=np.int32)
+    pt0_vals = np.zeros((n_agg, w0, 3, 2))
+    pt0_cols[agg, ranks] = np.arange(n, dtype=np.int32)
+    pt0_vals[agg, ranks] = p0_block.transpose(0, 2, 1)
+    return (
+        agg.astype(np.int32),
+        np.ascontiguousarray(p0_block),
+        pt0_cols,
+        pt0_vals,
+        omega * diag_inv,
+    )
 
 
 def build_amg_setup(
@@ -567,6 +604,7 @@ def build_amg_setup(
     cur_coords = coords
     m = 2
     info = {"omegas": [], "rhos": []}
+    fast0 = None
 
     while len(level_sizes) < max_levels and level_sizes[-1][0] * m > coarse_dof:
         n_l = level_sizes[-1][0]
@@ -580,6 +618,8 @@ def build_amg_setup(
         omega = 4.0 / 3.0 / max(rho, 1e-12)
         info["rhos"].append(rho)
         info["omegas"].append(omega)
+        if len(level_sizes) == 1:
+            fast0 = _fast0_arrays(agg, p0_block, diag_inv, omega, n_agg)
         prows, pcols, pvals = _smooth_prolongator(
             rows, cols, vals, diag_inv, agg, p0_block, n_agg, omega
         )
@@ -655,6 +695,7 @@ def build_amg_setup(
             coords, tris, free, float(e_mod), float(nu), float(t),
             float(cell_factor), mesh_hash=mesh_hash,
         ),
+        fast0=fast0,
     )
 
 
@@ -852,7 +893,15 @@ def material_amg_device_arrays(setup: AMGMaterialSetup, dtype) -> tuple:
 
 
 def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
-    """Upload the hierarchy as a jit-traceable pytree of device arrays.
+    """Upload the hierarchy as a jit-traceable pytree of device arrays:
+    (transfers, coarse, ci, fast0) -- fast0 is () when the setup predates
+    the factored transfer (old persisted caches).
+
+    When fast0 is present, the level-0 smoothed transfer ELL pair (by far
+    the largest hierarchy arrays AND the V-cycle's dominant cost as
+    gathers) is neither uploaded nor applied -- the V-cycle uses the
+    factored form (see make_amg_preconditioner). A zero-size placeholder
+    keeps the transfers tuple aligned with coarse levels.
 
     All arrays ride `packed_device_put` (grouped by dtype, chunked, sliced
     apart on device): per-array eager uploads cost ~26 ms tunnel dispatch
@@ -863,22 +912,43 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
         a = np.asarray(a)
         return a.astype(dt) if dt is not None and a.dtype != dt else a
 
+    skip0 = setup.fast0 is not None and len(setup.transfers) > 0
+
     host: list = []
-    for pc, pv, tc, tv in setup.transfers:
+    for l, (pc, pv, tc, tv) in enumerate(setup.transfers):
+        if skip0 and l == 0:
+            continue
         host += [_cast(pc, None), _cast(pv, dtype), _cast(tc, None), _cast(tv, dtype)]
     for ac, av, di in setup.coarse_ops:
         host += [_cast(ac, None), _cast(av, dtype), _cast(di, dtype)]
     if setup.coarsest_inv is not None:
         host.append(_cast(setup.coarsest_inv, dtype))
+    if setup.fast0 is not None:
+        agg, p0, ptc, ptv, dw = setup.fast0
+        host += [
+            _cast(agg, None), _cast(p0, dtype), _cast(ptc, None),
+            _cast(ptv, dtype), _cast(dw, dtype),
+        ]
 
     dev = packed_device_put(host)
     it = iter(dev)
-    transfers = tuple(
-        (next(it), next(it), next(it), next(it)) for _ in setup.transfers
-    )
+    transfers = []
+    for l in range(len(setup.transfers)):
+        if skip0 and l == 0:
+            # placeholder with the right pytree arity; never applied
+            z = jnp.zeros((0,), dtype=jnp.int32)
+            zv = jnp.zeros((0,), dtype=dtype)
+            transfers.append((z, zv, z, zv))
+        else:
+            transfers.append((next(it), next(it), next(it), next(it)))
     coarse = tuple((next(it), next(it), next(it)) for _ in setup.coarse_ops)
     ci = (next(it),) if setup.coarsest_inv is not None else ()
-    return (transfers, coarse, ci)
+    fast0 = (
+        (next(it), next(it), next(it), next(it), next(it))
+        if setup.fast0 is not None
+        else ()
+    )
+    return (tuple(transfers), coarse, ci, fast0)
 
 
 # =========================== device V-cycle =================================
@@ -938,6 +1008,7 @@ def make_amg_preconditioner(
     omega0: float = 0.7,
     omega: float = 0.7,
     coarse_sweeps: int = 24,
+    a_op: Optional[MatVec] = None,
 ) -> MatVec:
     """V(1,1)-cycle apply(r) ~= A^-1 r.
 
@@ -948,9 +1019,31 @@ def make_amg_preconditioner(
     by design sweeps -- ONE hierarchy preconditions every lane, with the
     lane axis broadcast minormost through all levels). Transfers and coarse
     levels always run node-major.
+
+    a_op: the UNSHIFTED masked operator A = free * K * free in the same
+    layout (op0 minus its identity-on-constrained part). Required when the
+    hierarchy carries factored level-0 transfers (AMGSetup.fast0): the
+    smoothed prolongator P = (I - omega D^-1 A) P0 is then applied as that
+    composition -- two extra band matvecs replace the giant level-0 ELL
+    gather pair, which measured 26.8 ms of a 52 ms V-cycle at 500k nodes
+    (scripts/profile_unstructured.py) because XLA lowers unstructured
+    gathers to a few GB/s on TPU. P^T rides the mirrored composition
+    P^T r = P0^T (r - A (omega D^-1) r), so the pair stays an exact
+    adjoint and the V-cycle remains a valid SPD preconditioner.
     """
-    transfers, coarse, ci = amg
+    if len(amg) == 4:
+        transfers, coarse, ci, fast0 = amg
+    else:
+        transfers, coarse, ci = amg
+        fast0 = ()
     n_levels = len(transfers) + 1
+    if fast0 and n_levels > 1 and a_op is None:
+        raise ValueError(
+            "this AMG pytree carries factored level-0 transfers "
+            "(the stored ELL pair was not uploaded); pass a_op= the "
+            "masked operator free*K*free in the level-0 layout"
+        )
+    use_fast = bool(fast0) and n_levels > 1 and a_op is not None
 
     def to_nodes(r):
         if layout == "tl":
@@ -972,6 +1065,35 @@ def make_amg_preconditioner(
         coarse_sweeps=coarse_sweeps,
     )
 
+    if use_fast:
+        agg, p0, pt0_cols, pt0_vals, dinv0w = fast0
+
+        hp = {"precision": "highest"}
+
+        def dinv_apply(v):  # omega * D^-1 in the level-0 layout
+            if layout == "n":
+                return jnp.einsum("nij,nj->ni", dinv0w, v, **hp)
+            if layout == "tl":
+                return jnp.einsum("nij,jnb->inb", dinv0w, v, **hp)
+            return jnp.einsum("nij,jn->in", dinv0w, v, **hp)
+
+        def restrict(res):  # P^T res, res in level-0 layout -> [n1, 3(, B)]
+            tmp = res - a_op(dinv_apply(res))
+            if layout == "n":
+                return jnp.einsum("nwij,nwj->ni", pt0_vals, tmp[pt0_cols], **hp)
+            if layout == "tl":
+                return jnp.einsum(
+                    "nwij,jnwb->nib", pt0_vals, tmp[:, pt0_cols], **hp
+                )
+            return jnp.einsum("nwij,jnw->ni", pt0_vals, tmp[:, pt0_cols], **hp)
+
+        def prolong(ec):  # P ec -> correction in level-0 layout
+            if layout == "tl":
+                uf = from_nodes(jnp.einsum("nij,njb->nib", p0, ec[agg], **hp))
+            else:
+                uf = from_nodes(jnp.einsum("nij,nj->ni", p0, ec[agg], **hp))
+            return uf - dinv_apply(a_op(uf))
+
     def apply(r):
         # level 0 on the injected fast operator, in its native layout
         if n_levels == 1:
@@ -989,11 +1111,16 @@ def make_amg_preconditioner(
         e = omega0 * jac0(r)
         for _ in range(pre_sweeps - 1):
             e = e + omega0 * jac0(r - op0(e))
-        res = to_nodes(r - op0(e))
-        p_cols, p_vals, pt_cols, pt_vals = transfers[0]
-        rc = _block_ell_matvec(pt_cols, pt_vals, res)
-        ec = cycle(0, rc)
-        e = e + from_nodes(_block_ell_matvec(p_cols, p_vals, ec))
+        res = r - op0(e)
+        if use_fast:
+            rc = restrict(res)
+            ec = cycle(0, rc)
+            e = e + prolong(ec)
+        else:
+            p_cols, p_vals, pt_cols, pt_vals = transfers[0]
+            rc = _block_ell_matvec(pt_cols, pt_vals, to_nodes(res))
+            ec = cycle(0, rc)
+            e = e + from_nodes(_block_ell_matvec(p_cols, p_vals, ec))
         for _ in range(post_sweeps):
             e = e + omega0 * jac0(r - op0(e))
         return e
@@ -1079,6 +1206,13 @@ def setup_to_arrays(setup: AMGSetup) -> dict:
         out[f"amg_c{l}_dinv"] = di
     if setup.coarsest_inv is not None:
         out["amg_coarsest_inv"] = setup.coarsest_inv
+    if setup.fast0 is not None:
+        agg, p0, ptc, ptv, dw = setup.fast0
+        out["amg_f0_agg"] = agg
+        out["amg_f0_p0"] = p0
+        out["amg_f0_ptcols"] = ptc
+        out["amg_f0_ptvals"] = ptv
+        out["amg_f0_dinvw"] = dw
     return out
 
 
@@ -1100,6 +1234,15 @@ def setup_from_arrays(data: dict) -> AMGSetup:
     ]
     sizes = [tuple(int(v) for v in row) for row in data["amg_level_sizes"]]
     fp = data.get("amg_fingerprint")
+    fast0 = None
+    if "amg_f0_agg" in data:
+        fast0 = (
+            data["amg_f0_agg"],
+            data["amg_f0_p0"],
+            data["amg_f0_ptcols"],
+            data["amg_f0_ptvals"],
+            data["amg_f0_dinvw"],
+        )
     return AMGSetup(
         transfers=transfers,
         coarse_ops=coarse,
@@ -1107,4 +1250,5 @@ def setup_from_arrays(data: dict) -> AMGSetup:
         level_sizes=sizes,
         setup_info={"loaded": True},
         fingerprint=None if fp is None else str(fp),
+        fast0=fast0,
     )

@@ -382,20 +382,24 @@ def _solve_hybrid(
             from .amg import make_amg_preconditioner
 
             precond = make_amg_preconditioner(
-                amg, op, precond, layout="t", **_amg_sweep_kwargs(spec)
+                amg, op, precond, layout="t",
+                a_op=lambda v: free_t * matvec_t(free_t * v),
+                **_amg_sweep_kwargs(spec),
             )
     op32 = precond32 = None
     if spec.refine:
         f32 = jnp.float32
         free32 = free_t.astype(f32)
         bands32, rem32 = bands.astype(f32), rem_vals.astype(f32)
-        _, op32 = make_op(bands32, rem32, free32)
+        matvec32, op32 = make_op(bands32, rem32, free32)
         precond32 = block_jacobi_inverse_t(bands32[zero_idx], free32)
         if spec.preconditioner == "amg":
             from .amg import make_amg_preconditioner
 
             precond32 = make_amg_preconditioner(
-                amg, op32, precond32, layout="t", **_amg_sweep_kwargs(spec)
+                amg, op32, precond32, layout="t",
+                a_op=lambda v: free32 * matvec32(free32 * v),
+                **_amg_sweep_kwargs(spec),
             )
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
@@ -443,14 +447,16 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
             from .amg import make_amg_preconditioner
 
             precond = make_amg_preconditioner(
-                amg, op, precond, layout="t", **_amg_sweep_kwargs(spec)
+                amg, op, precond, layout="t",
+                a_op=lambda v: free_t * matvec_t(free_t * v),
+                **_amg_sweep_kwargs(spec),
             )
     op32 = precond32 = None
     if spec.refine:
         f32 = jnp.float32
         free32 = free_t.astype(f32)
         bands32 = bands.astype(f32)
-        _, op32 = make_op(bands32, free32)
+        matvec32, op32 = make_op(bands32, free32)
         precond32 = block_jacobi_inverse_t(
             dia_diag_blocks(bands32, offsets), free32
         )
@@ -458,7 +464,9 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
             from .amg import make_amg_preconditioner
 
             precond32 = make_amg_preconditioner(
-                amg, op32, precond32, layout="t", **_amg_sweep_kwargs(spec)
+                amg, op32, precond32, layout="t",
+                a_op=lambda v: free32 * matvec32(free32 * v),
+                **_amg_sweep_kwargs(spec),
             )
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
@@ -507,7 +515,9 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
 
         bj = block_jacobi_preconditioner(diag_blocks, free)
         precond = make_amg_preconditioner(
-            amg, op, bj, layout="n", **_amg_sweep_kwargs(spec)
+            amg, op, bj, layout="n",
+            a_op=lambda v: free * matvec(free * v),
+            **_amg_sweep_kwargs(spec),
         )
     else:
         precond = _make_preconditioner(
@@ -520,15 +530,16 @@ def _solve_ell(spec: CoreSpec, coords, tris, cols, slot_ids, u_known, u_value, f
         f32 = jnp.float32
         free32 = free.astype(f32)
         ell32 = ell.astype(f32)
-        op32 = make_constrained_operator(
-            make_ell_operator(ell32, cols), free32
-        )
+        matvec32 = make_ell_operator(ell32, cols)
+        op32 = make_constrained_operator(matvec32, free32)
         if spec.preconditioner == "amg":
             from .amg import make_amg_preconditioner
 
             bj32 = block_jacobi_preconditioner(diag_blocks.astype(f32), free32)
             precond32 = make_amg_preconditioner(
-                amg, op32, bj32, layout="n", **_amg_sweep_kwargs(spec)
+                amg, op32, bj32, layout="n",
+                a_op=lambda v: free32 * matvec32(free32 * v),
+                **_amg_sweep_kwargs(spec),
             )
         else:
             precond32 = _make_preconditioner(
@@ -1265,7 +1276,7 @@ def compile_problem(
         )
     timings["preconditioner"] = preconditioner
 
-    amg_args = ((), (), ())
+    amg_args = ((), (), (), ())
     setup = None
     if preconditioner == "amg":
         from .amg import amg_device_arrays, build_amg_setup

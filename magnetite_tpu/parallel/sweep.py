@@ -1305,7 +1305,8 @@ def _dia_amg_lanes_core(
 
     sweeps = amg_sweep_schedule(False, amg_sweeps)
     vcycle = make_amg_preconditioner(
-        amg, op_sm, jac0, layout="tl", pre_sweeps=sweeps, post_sweeps=sweeps
+        amg, op_sm, jac0, layout="tl", pre_sweeps=sweeps, post_sweeps=sweeps,
+        a_op=lambda v: free_sm * band_matvec(bands_sm, free_sm * v),
     )
     inv_scale = free_b / k_scales + (1.0 - free_b)
 

@@ -36,8 +36,11 @@ from .meshing.core import Mesh
 # operator caches kept their v1 schema and stay loadable: cases carry no
 # hash at all, and the operator cache re-validates itself against the
 # CURRENT mesh hash on load (a stale one is a cheap, explicit miss).
-_FORMAT_VERSION = 2
-_MIN_VERSION = {"case": 1, "operator": 1, "amg": 2}
+_FORMAT_VERSION = 3
+# amg: v3 added the factored level-0 transfer arrays (fem/amg AMGSetup.fast0);
+# older hierarchies would silently run the slow ELL transfer pair, so they
+# rebuild once instead.
+_MIN_VERSION = {"case": 1, "operator": 1, "amg": 3}
 
 
 def _check_version(data: dict, kind: str, path: str) -> None:

@@ -138,7 +138,11 @@ def test_vcycle_preconditioner_is_symmetric(plate):
         return free_t * matvec(free_t * v) + (1.0 - free_t) * v
 
     jac0 = block_jacobi_inverse_t(dia_diag_blocks(bands, offsets), free_t)
-    m = make_amg_preconditioner(amg, op, jac0, layout="t")
+
+    def a_op(v):
+        return free_t * matvec(free_t * v)
+
+    m = make_amg_preconditioner(amg, op, jac0, layout="t", a_op=a_op)
 
     rng = np.random.default_rng(0)
     r1 = jnp.asarray(rng.standard_normal((2, n)))
@@ -146,6 +150,86 @@ def test_vcycle_preconditioner_is_symmetric(plate):
     lhs = float(jnp.sum(m(r1) * r2))
     rhs = float(jnp.sum(r1 * m(r2)))
     assert abs(lhs - rhs) < 1e-9 * max(abs(lhs), abs(rhs))
+
+
+def test_factored_transfers_match_stored_ell(plate):
+    """The factored level-0 transfer composition P = (I - w Dinv A) P0
+    (AMGSetup.fast0, applied band-matvec-side) must produce the SAME
+    V-cycle as the stored smoothed-P ELL pair, and must refuse to run
+    without the masked operator it needs."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from magnetite_tpu.fem.dia import (
+        assemble_dia,
+        block_jacobi_inverse_t,
+        build_dia_structure,
+        dia_diag_blocks,
+        make_dia_operator,
+    )
+    from magnetite_tpu.fem.element import element_stiffness_matrices
+
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    free = (~bca.u_known).astype(np.float64)
+    setup = build_amg_setup(plate.coords, plate.tris, E, NU, T, free)
+    assert setup.fast0 is not None
+
+    n = plate.num_nodes
+    s = build_dia_structure(plate.tris, n)
+    ke = element_stiffness_matrices(
+        jnp.asarray(plate.coords), jnp.asarray(plate.tris), E, NU, T
+    )
+    bands = assemble_dia(ke, s.slot_ids, n, s.n_diags)
+    offsets = tuple(int(o) for o in s.offsets)
+    matvec = make_dia_operator(bands, offsets)
+    free_t = jnp.asarray(free.T)
+
+    def op(v):
+        return free_t * matvec(free_t * v) + (1.0 - free_t) * v
+
+    def a_op(v):
+        return free_t * matvec(free_t * v)
+
+    jac0 = block_jacobi_inverse_t(dia_diag_blocks(bands, offsets), free_t)
+
+    amg_fast = amg_device_arrays(setup, jnp.float64)
+    assert amg_fast[3]  # fast0 present
+    assert amg_fast[0][0][0].size == 0  # stored level-0 pair NOT uploaded
+    stored_setup = dataclasses.replace(setup, fast0=None)
+    amg_stored = amg_device_arrays(stored_setup, jnp.float64)
+
+    m_fast = make_amg_preconditioner(
+        amg_fast, op, jac0, layout="t", a_op=a_op
+    )
+    m_stored = make_amg_preconditioner(amg_stored, op, jac0, layout="t")
+
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal((2, n)))
+    zf = np.asarray(m_fast(r))
+    zs = np.asarray(m_stored(r))
+    # identical math, different summation order: f64 roundoff only
+    np.testing.assert_allclose(zf, zs, atol=1e-11 * np.abs(zs).max())
+
+    with pytest.raises(ValueError, match="a_op"):
+        make_amg_preconditioner(amg_fast, op, jac0, layout="t")
+
+    # node-major layout parity too (the ELL solver path)
+    def op_n(v):
+        return op(v.T).T
+
+    def a_op_n(v):
+        return a_op(v.T).T
+
+    def jac_n(v):
+        return jac0(v.T).T
+
+    m_fast_n = make_amg_preconditioner(
+        amg_fast, op_n, jac_n, layout="n", a_op=a_op_n
+    )
+    np.testing.assert_allclose(
+        np.asarray(m_fast_n(r.T)), zf.T, atol=1e-12 * np.abs(zf).max()
+    )
 
 
 def test_amg_beats_block_jacobi_and_matches(plate):
