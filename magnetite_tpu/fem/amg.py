@@ -1009,6 +1009,7 @@ def make_amg_preconditioner(
     omega: float = 0.7,
     coarse_sweeps: int = 24,
     a_op: Optional[MatVec] = None,
+    coarse_level_sweeps: Optional[int] = None,
 ) -> MatVec:
     """V(1,1)-cycle apply(r) ~= A^-1 r.
 
@@ -1055,12 +1056,18 @@ def make_amg_preconditioner(
             return r.transpose(1, 0, 2)
         return r.T if layout == "t" else r
 
+    # Below the fine level the smoothing sweeps run on gather-bound
+    # block-ELL operators; extra sweeps there buy far less convergence
+    # per ms than the fine level's band-matvec sweeps (the V(3,3)
+    # schedule exists to cut expensive f64 CG iterations -- a fine-level
+    # tradeoff). Coarse levels default to V(1,1) unless pinned.
+    cls = 1 if coarse_level_sweeps is None else int(coarse_level_sweeps)
     cycle = make_coarse_cycle(
         transfers[1:],
         coarse,
         ci,
-        pre_sweeps=pre_sweeps,
-        post_sweeps=post_sweeps,
+        pre_sweeps=cls,
+        post_sweeps=cls,
         omega=omega,
         coarse_sweeps=coarse_sweeps,
     )

@@ -292,9 +292,51 @@ def dia_diag_blocks(bands: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
     return bands[zero_idx]
 
 
-def make_dia_operator(bands: jax.Array, offsets: tuple[int, ...]):
+def make_dia_operator(
+    bands: jax.Array, offsets: tuple[int, ...], impl: str = "auto"
+):
+    """op(u [2, N]) -> K u. On TPU (impl='auto') this pre-tiles the bands
+    once into the Pallas DIA kernel's contiguous-DMA layout (~5x the XLA
+    roll formulation at 41 bands / 500k nodes); under jit the pre-tile is
+    loop-invariant and hoisted out of CG/smoother loops. f64 bands (the
+    refinement CG operator) always take the XLA path -- the kernel is
+    f32-only."""
+    if impl == "auto" and jax.default_backend() == "tpu":
+        from ..pallas.dia_kernel import (
+            dia_pallas_applicable,
+            make_pallas_dia_operator,
+        )
+
+        offs = tuple(int(o) for o in offsets)
+        if dia_pallas_applicable(offs, int(bands.shape[-1]), bands.dtype):
+            return make_pallas_dia_operator(bands, offs)
+
     def op(u: jax.Array) -> jax.Array:
         return dia_matvec(bands, offsets, u)
+
+    return op
+
+
+def make_hybrid_operator(
+    bands: jax.Array,
+    offsets: tuple[int, ...],
+    rem_vals: jax.Array,
+    rem_rows: jax.Array,
+    rem_cols: jax.Array,
+    impl: str = "auto",
+):
+    """op(u [2, N]) -> K u for the band + COO-remainder format, with the
+    band part on the Pallas kernel when applicable (the remainder is a
+    small scatter-add either way)."""
+    dia_op = make_dia_operator(bands, offsets, impl=impl)
+
+    def op(u: jax.Array) -> jax.Array:
+        y = dia_op(u)
+        ug = u[:, rem_cols]  # [2, R]
+        contrib = jnp.einsum(
+            "rij,jr->ir", rem_vals, ug, precision="highest"
+        )
+        return y.at[:, rem_rows].add(contrib)
 
     return op
 

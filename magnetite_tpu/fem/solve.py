@@ -351,7 +351,7 @@ def _run_linear_solve(spec: CoreSpec, op, precond, b, x0, op32=None, precond32=N
 def _solve_hybrid(
     spec: CoreSpec, coords, tris, rem_idx, slot_ids, u_known, u_value, f_value, e, nu, t, amg, assembled
 ):
-    from .dia import block_jacobi_inverse_t, hybrid_matvec
+    from .dia import block_jacobi_inverse_t, make_hybrid_operator
 
     offsets = spec.params.offsets
     rem_rows, rem_cols = rem_idx[0], rem_idx[1]
@@ -362,10 +362,9 @@ def _solve_hybrid(
     bands, rem_vals = assembled
 
     def make_op(bands_, rem_vals_, free_):
-        def matvec(v):
-            return hybrid_matvec(
-                bands_, offsets, rem_vals_, rem_rows, rem_cols, v
-            )
+        matvec = make_hybrid_operator(
+            bands_, offsets, rem_vals_, rem_rows, rem_cols
+        )
 
         def op(v):
             return free_ * matvec(free_ * v) + (1.0 - free_) * v

@@ -93,3 +93,94 @@ def test_blocked_kernel_matches_xla_interpret(metadata, mesh_fn, wrap):
     )
     scale = np.abs(y_ref).max()
     np.testing.assert_allclose(y_blk, y_ref, rtol=2e-5, atol=1e-5 * scale)
+
+
+# ============================ DIA band kernel ================================
+
+
+def _random_dia(n, offsets, seed=0, dtype=np.float32):
+    """Random bands zeroed wherever row + offset falls outside [0, n) --
+    the operator contract dia_matvec's wrapping rolls rely on."""
+    rng = np.random.default_rng(seed)
+    d = len(offsets)
+    bands = rng.standard_normal((d, 2, 2, n)).astype(dtype)
+    rows = np.arange(n)
+    for k, off in enumerate(offsets):
+        bad = (rows + off < 0) | (rows + off >= n)
+        bands[k, :, :, bad] = 0.0
+    return jnp.asarray(bands)
+
+
+@pytest.mark.parametrize(
+    "n,offsets",
+    [
+        # small offsets only (single-row reach)
+        (9000, (-3, -1, 0, 1, 3)),
+        # band reach across several 512-lane rows + exact row multiples
+        (9000, (-1300, -1024, -512, -37, 0, 37, 512, 1024, 1300)),
+        # n an exact lane multiple (no flat tail padding)
+        (8192, (-513, -512, -511, 0, 511, 512, 513)),
+        # annulus-style huge wrap offsets (ring connectivity)
+        (8192, (-8000, -1, 0, 1, 8000)),
+    ],
+)
+def test_pallas_dia_matches_xla_interpret(n, offsets):
+    from magnetite_tpu.fem.dia import dia_matvec
+    from magnetite_tpu.pallas.dia_kernel import (
+        dia_pallas_applicable,
+        make_pallas_dia_operator,
+    )
+
+    assert dia_pallas_applicable(offsets, n)
+    bands = _random_dia(n, offsets)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+    y_ref = np.asarray(dia_matvec(bands, offsets, u))
+    op = make_pallas_dia_operator(bands, offsets, interpret=True)
+    y_pal = np.asarray(op(u))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=1e-5 * scale)
+
+
+def test_pallas_dia_matches_real_mesh_operator(metadata):
+    """End-to-end parity on a real renumbered Delaunay mesh's DIA bands."""
+    from magnetite_tpu.fem.dia import build_dia_structure, dia_matvec
+    from magnetite_tpu.fem.element import element_stiffness_matrices
+    from magnetite_tpu.fem.dia import assemble_dia
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from magnetite_tpu.pallas.dia_kernel import (
+        dia_pallas_applicable,
+        make_pallas_dia_operator,
+    )
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    mesh = triangulate([outer], 0.0, 0.02)
+    n = mesh.num_nodes
+    s = build_dia_structure(mesh.tris, n)
+    ke = element_stiffness_matrices(
+        jnp.asarray(mesh.coords, jnp.float32),
+        jnp.asarray(mesh.tris),
+        metadata.youngs_modulus,
+        metadata.poisson_ratio,
+        metadata.part_thickness,
+    )
+    bands = assemble_dia(ke, s.slot_ids, n, s.n_diags).astype(jnp.float32)
+    offsets = tuple(int(o) for o in s.offsets)
+    assert dia_pallas_applicable(offsets, n)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+    y_ref = np.asarray(dia_matvec(bands, offsets, u))
+    op = make_pallas_dia_operator(bands, offsets, interpret=True)
+    y_pal = np.asarray(op(u))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=1e-5 * scale)
+
+
+def test_dia_pallas_applicable_rules():
+    from magnetite_tpu.pallas.dia_kernel import dia_pallas_applicable
+
+    assert dia_pallas_applicable((-1, 0, 1), 500_000)
+    assert not dia_pallas_applicable((-1, 0, 1), 500_000, jnp.float64)
+    assert not dia_pallas_applicable((0,), 1000)  # too small to tile
+    # unbounded band reach (band-hostile ordering) is rejected
+    assert not dia_pallas_applicable((0, 400_000), 500_000)
