@@ -894,8 +894,14 @@ def material_amg_device_arrays(setup: AMGMaterialSetup, dtype) -> tuple:
 
 def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
     """Upload the hierarchy as a jit-traceable pytree of device arrays:
-    (transfers, coarse, ci, fast0) -- fast0 is () when the setup predates
-    the factored transfer (old persisted caches).
+    (transfers, coarse, ci, fast0, coarse_bands) -- fast0 is () when the
+    setup predates the factored transfer (old persisted caches).
+
+    coarse_bands[l] is a BandedOp (DIA form of coarse_ops[l], derived here
+    from the ELL arrays -- persisted caches need no new format) or None
+    when the coarse graph is band-hostile; make_coarse_cycle smooths on
+    bands when present (rolls/Pallas, ~HBM roofline) instead of the
+    gather ELL (~5 GB/s on TPU).
 
     When fast0 is present, the level-0 smoothed transfer ELL pair (by far
     the largest hierarchy arrays AND the V-cycle's dominant cost as
@@ -914,6 +920,10 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
 
     skip0 = setup.fast0 is not None and len(setup.transfers) > 0
 
+    band_specs = [
+        _ell_to_bands(ac, av) for ac, av, _ in setup.coarse_ops
+    ]
+
     host: list = []
     for l, (pc, pv, tc, tv) in enumerate(setup.transfers):
         if skip0 and l == 0:
@@ -921,6 +931,9 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
         host += [_cast(pc, None), _cast(pv, dtype), _cast(tc, None), _cast(tv, dtype)]
     for ac, av, di in setup.coarse_ops:
         host += [_cast(ac, None), _cast(av, dtype), _cast(di, dtype)]
+    for spec in band_specs:
+        if spec is not None:
+            host.append(_cast(spec[1], dtype))
     if setup.coarsest_inv is not None:
         host.append(_cast(setup.coarsest_inv, dtype))
     if setup.fast0 is not None:
@@ -942,16 +955,78 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
         else:
             transfers.append((next(it), next(it), next(it), next(it)))
     coarse = tuple((next(it), next(it), next(it)) for _ in setup.coarse_ops)
+    coarse_bands = tuple(
+        BandedOp(next(it), spec[0]) if spec is not None else None
+        for spec in band_specs
+    )
     ci = (next(it),) if setup.coarsest_inv is not None else ()
     fast0 = (
         (next(it), next(it), next(it), next(it), next(it))
         if setup.fast0 is not None
         else ()
     )
-    return (tuple(transfers), coarse, ci, fast0)
+    return (tuple(transfers), coarse, ci, fast0, coarse_bands)
 
 
 # =========================== device V-cycle =================================
+
+
+# distinct (col - row) offsets a coarse level may use before falling back
+# to the gather ELL path; bands cost D*m*m*n floats of HBM, so a cap keeps
+# pathological (band-hostile) coarse graphs from exploding the upload
+_COARSE_MAX_DIAGS = 80
+
+
+def _ell_to_bands(a_cols, a_vals, max_diags: int = _COARSE_MAX_DIAGS):
+    """Block-ELL -> (offsets, DIA bands [D, m, m, n]), or None if the
+    graph needs more than max_diags distinct (col - row) offsets.
+
+    Aggregate ids are spatially row-major (_aggregate_cells keys cells by
+    iy*nx+ix), so coarse graphs inherit the fine level's bandedness; the
+    gather-bound ELL matvec then has a rolls-only DIA equivalent that runs
+    ~5 GB/s -> HBM-roofline on TPU (fem/dia.py, pallas/dia_kernel.py).
+    Zero blocks (ELL padding sits at col 0) are dropped -- they contribute
+    nothing and would otherwise smear padding offsets into the band set.
+    """
+    n, w = a_cols.shape[:2]
+    m = a_vals.shape[2]
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    offs = a_cols.astype(np.int64) - rows
+    nz = np.abs(a_vals).reshape(n, w, -1).max(axis=2) > 0.0
+    uniq = np.unique(offs[nz])
+    if uniq.size == 0 or uniq.size > max_diags:
+        return None
+    bands = np.zeros((uniq.size, m, m, n), dtype=a_vals.dtype)
+    d_idx = np.searchsorted(uniq, offs[nz])
+    r_idx = np.broadcast_to(rows, offs.shape)[nz]
+    # add.at, not assignment: nothing above guarantees (row, col) slots
+    # are unique in the ELL
+    np.add.at(bands, (d_idx, slice(None), slice(None), r_idx), a_vals[nz])
+    return tuple(int(o) for o in uniq), bands
+
+
+@jax.tree_util.register_pytree_node_class
+class BandedOp:
+    """A DIA operator riding a jit argument pytree: the band array is a
+    traced leaf, the offset tuple lives in the treedef (static), so the
+    roll/Pallas lowering sees compile-time offsets without embedding the
+    (large) bands as HLO constants."""
+
+    __slots__ = ("bands", "offsets")
+
+    def __init__(self, bands, offsets: tuple[int, ...]):
+        self.bands = bands
+        self.offsets = tuple(int(o) for o in offsets)
+
+    def tree_flatten(self):
+        return (self.bands,), self.offsets
+
+    @classmethod
+    def tree_unflatten(cls, offsets, children):
+        obj = cls.__new__(cls)
+        obj.bands = children[0]
+        obj.offsets = offsets
+        return obj
 
 
 def _block_ell_matvec(a_cols, a_vals, x):
@@ -1032,7 +1107,10 @@ def make_amg_preconditioner(
     P^T r = P0^T (r - A (omega D^-1) r), so the pair stays an exact
     adjoint and the V-cycle remains a valid SPD preconditioner.
     """
-    if len(amg) == 4:
+    coarse_bands = ()
+    if len(amg) == 5:
+        transfers, coarse, ci, fast0, coarse_bands = amg
+    elif len(amg) == 4:
         transfers, coarse, ci, fast0 = amg
     else:
         transfers, coarse, ci = amg
@@ -1070,6 +1148,7 @@ def make_amg_preconditioner(
         post_sweeps=cls,
         omega=omega,
         coarse_sweeps=coarse_sweeps,
+        coarse_bands=coarse_bands,
     )
 
     if use_fast:
@@ -1144,6 +1223,7 @@ def make_coarse_cycle(
     post_sweeps: int = 1,
     omega: float = 0.7,
     coarse_sweeps: int = 24,
+    coarse_bands: tuple = (),
 ):
     """The replicated part of the V-cycle, below the fine level.
 
@@ -1152,13 +1232,27 @@ def make_coarse_cycle(
     Shared by the single-device preconditioner and the sharded solvers
     (parallel/dia_shard.py), so smoothing schedules and the dense-coarsest
     branch cannot drift apart.
+
+    coarse_bands[l] (a BandedOp, or None) replaces the level's gather-ELL
+    matvec with the DIA roll/Pallas formulation for plain [n, m] operands;
+    lane-batched [n, m, B] sweeps keep the ELL gather (its lane axis
+    broadcasts through the gather for free, and sweep meshes are small).
     """
     n_coarse = len(coarse)
 
+    def _matvec(l, x):
+        cb = coarse_bands[l] if l < len(coarse_bands) else None
+        if cb is not None and x.ndim == 2:
+            from .dia import make_dia_operator
+
+            return make_dia_operator(cb.bands, cb.offsets)(x.T).T
+        a_cols, a_vals, _ = coarse[l]
+        return _block_ell_matvec(a_cols, a_vals, x)
+
     def smooth(l, e, r, sweeps):
-        a_cols, a_vals, d_inv = coarse[l]
+        d_inv = coarse[l][2]
         for _ in range(sweeps):
-            res = r - _block_ell_matvec(a_cols, a_vals, e)
+            res = r - _matvec(l, e)
             e = e + omega * _apply_blocks(d_inv, res)
         return e
 
@@ -1174,10 +1268,10 @@ def make_coarse_cycle(
                     ci[0], flat, precision="highest"
                 ).reshape(r.shape)
             return smooth(l, jnp.zeros_like(r), r, coarse_sweeps)
-        a_cols, a_vals, d_inv = coarse[l]
+        d_inv = coarse[l][2]
         e = omega * _apply_blocks(d_inv, r)
         e = smooth(l, e, r, pre_sweeps - 1)
-        res = r - _block_ell_matvec(a_cols, a_vals, e)
+        res = r - _matvec(l, e)
         tp_cols, tp_vals, tpt_cols, tpt_vals = transfers_tail[l]
         rc = _block_ell_matvec(tpt_cols, tpt_vals, res)
         ec = cycle(l + 1, rc)

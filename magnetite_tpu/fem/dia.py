@@ -266,24 +266,36 @@ def assemble_hybrid_fused(
     return bands.transpose(2, 0, 1, 3), rem.transpose(2, 0, 1)
 
 
-def dia_matvec(bands: jax.Array, offsets: tuple[int, ...], u: jax.Array):
-    """y = K u with u, y in [2, N] layout.
+def dia_matvec_blocks(
+    bands: jax.Array, offsets: tuple[int, ...], u: jax.Array
+):
+    """y = K u for m x m blocks: bands [D, m, m, N], u/y [m, N].
 
     `offsets` must be static Python ints (one fused roll+FMA per band).
     Rolls wrap, but every band is zero wherever its shifted index would be
     invalid, so wraparound contributes exactly 0 -- and genuine periodic
-    connectivity (annulus ring wrap) is just another offset.
+    connectivity (annulus ring wrap) is just another offset. Used for the
+    2x2 node-DOF operator (m=2) and the 3-near-nullspace-mode coarse AMG
+    operators (m=3).
     """
-    y0 = jnp.zeros_like(u[0])
-    y1 = jnp.zeros_like(u[1])
+    m = u.shape[0]
+    ys = [jnp.zeros_like(u[0]) for _ in range(m)]
     for d_idx, off in enumerate(offsets):
         shifted = jnp.roll(u, -off, axis=1) if off != 0 else u
         b = bands[d_idx]
-        # explicit 2x2 block FMAs: stays on the VPU in full f32 (an einsum
+        # explicit block FMAs: stays on the VPU in full f32 (an einsum
         # contraction would lower to bf16 MXU passes)
-        y0 = y0 + b[0, 0] * shifted[0] + b[0, 1] * shifted[1]
-        y1 = y1 + b[1, 0] * shifted[0] + b[1, 1] * shifted[1]
-    return jnp.stack([y0, y1])
+        for i in range(m):
+            acc = ys[i]
+            for j in range(m):
+                acc = acc + b[i, j] * shifted[j]
+            ys[i] = acc
+    return jnp.stack(ys)
+
+
+def dia_matvec(bands: jax.Array, offsets: tuple[int, ...], u: jax.Array):
+    """y = K u with u, y in [2, N] layout (see dia_matvec_blocks)."""
+    return dia_matvec_blocks(bands, offsets, u)
 
 
 def dia_diag_blocks(bands: jax.Array, offsets: tuple[int, ...]) -> jax.Array:
@@ -308,7 +320,9 @@ def make_dia_operator(
         )
 
         offs = tuple(int(o) for o in offsets)
-        if dia_pallas_applicable(offs, int(bands.shape[-1]), bands.dtype):
+        if dia_pallas_applicable(
+            offs, int(bands.shape[-1]), bands.dtype, m=int(bands.shape[1])
+        ):
             return make_pallas_dia_operator(bands, offs)
 
     def op(u: jax.Array) -> jax.Array:

@@ -232,6 +232,72 @@ def test_factored_transfers_match_stored_ell(plate):
     )
 
 
+def test_banded_coarse_levels_match_ell(plate):
+    """Coarse levels converted to DIA bands (amg_device_arrays derives
+    them from the ELL arrays) must give the SAME V-cycle as the gather
+    ELL path -- identical math, different summation order."""
+    import jax.numpy as jnp
+
+    from magnetite_tpu.fem.amg import BandedOp, _block_ell_matvec
+    from magnetite_tpu.fem.dia import (
+        assemble_dia,
+        block_jacobi_inverse_t,
+        build_dia_structure,
+        dia_diag_blocks,
+        make_dia_operator,
+    )
+    from magnetite_tpu.fem.element import element_stiffness_matrices
+
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    free = (~bca.u_known).astype(np.float64)
+    setup = build_amg_setup(plate.coords, plate.tris, E, NU, T, free)
+    amg = amg_device_arrays(setup, jnp.float64)
+    assert len(amg) == 5
+    coarse_bands = amg[4]
+    assert len(coarse_bands) == len(setup.coarse_ops)
+    # spatially-keyed aggregation keeps coarse graphs banded
+    assert any(cb is not None for cb in coarse_bands)
+    # each BandedOp reproduces its ELL level exactly
+    rng = np.random.default_rng(5)
+    for (a_cols, a_vals, _), cb in zip(amg[1], coarse_bands):
+        if cb is None:
+            continue
+        assert isinstance(cb, BandedOp)
+        x = jnp.asarray(rng.standard_normal((a_cols.shape[0], 3)))
+        y_ell = np.asarray(_block_ell_matvec(a_cols, a_vals, x))
+        y_dia = np.asarray(make_dia_operator(cb.bands, cb.offsets)(x.T).T)
+        np.testing.assert_allclose(
+            y_dia, y_ell, atol=1e-11 * max(np.abs(y_ell).max(), 1e-30)
+        )
+
+    n = plate.num_nodes
+    s = build_dia_structure(plate.tris, n)
+    ke = element_stiffness_matrices(
+        jnp.asarray(plate.coords), jnp.asarray(plate.tris), E, NU, T
+    )
+    bands = assemble_dia(ke, s.slot_ids, n, s.n_diags)
+    offsets = tuple(int(o) for o in s.offsets)
+    matvec = make_dia_operator(bands, offsets)
+    free_t = jnp.asarray(free.T)
+
+    def op(v):
+        return free_t * matvec(free_t * v) + (1.0 - free_t) * v
+
+    def a_op(v):
+        return free_t * matvec(free_t * v)
+
+    jac0 = block_jacobi_inverse_t(dia_diag_blocks(bands, offsets), free_t)
+
+    m_banded = make_amg_preconditioner(amg, op, jac0, layout="t", a_op=a_op)
+    m_ell = make_amg_preconditioner(
+        amg[:4], op, jac0, layout="t", a_op=a_op
+    )
+    r = jnp.asarray(rng.standard_normal((2, n)))
+    zb = np.asarray(m_banded(r))
+    ze = np.asarray(m_ell(r))
+    np.testing.assert_allclose(zb, ze, atol=1e-11 * np.abs(ze).max())
+
+
 def test_amg_beats_block_jacobi_and_matches(plate):
     bca = apply_boundary_conditions(plate.coords, _rules())
     amg = solve_system(

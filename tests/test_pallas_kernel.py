@@ -176,6 +176,61 @@ def test_pallas_dia_matches_real_mesh_operator(metadata):
     np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=1e-5 * scale)
 
 
+def _random_dia_m(n, offsets, m, seed=0):
+    rng = np.random.default_rng(seed)
+    bands = rng.standard_normal((len(offsets), m, m, n)).astype(np.float32)
+    rows = np.arange(n)
+    for k, off in enumerate(offsets):
+        bad = (rows + off < 0) | (rows + off >= n)
+        bands[k, :, :, bad] = 0.0
+    return jnp.asarray(bands)
+
+
+def test_pallas_dia_m3_matches_xla_interpret():
+    """3x3 blocks: the coarse AMG level layout (3 near-nullspace modes)."""
+    from magnetite_tpu.fem.dia import dia_matvec_blocks
+    from magnetite_tpu.pallas.dia_kernel import (
+        dia_pallas_applicable,
+        make_pallas_dia_operator,
+    )
+
+    n, offsets = 9000, (-1210, -601, -1, 0, 1, 601, 1210)
+    assert dia_pallas_applicable(offsets, n, m=3)
+    bands = _random_dia_m(n, offsets, 3)
+    rng = np.random.default_rng(1)
+    u = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    y_ref = np.asarray(dia_matvec_blocks(bands, offsets, u))
+    op = make_pallas_dia_operator(bands, offsets, interpret=True)
+    y_pal = np.asarray(op(u))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=1e-5 * scale)
+
+
+def test_pallas_dia_chunked_matches(monkeypatch):
+    """A VMEM budget too small for all bands in one tile forces the
+    chunked accumulation path; parity must hold across chunk seams."""
+    import magnetite_tpu.pallas.dia_kernel as dk
+    from magnetite_tpu.fem.dia import dia_matvec_blocks
+
+    n = 9000
+    offsets = tuple(range(-6, 7))  # 13 bands
+    bands = _random_dia_m(n, offsets, 2, seed=3)
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.standard_normal((2, n)), jnp.float32)
+    y_ref = np.asarray(dia_matvec_blocks(bands, offsets, u))
+
+    # budget: u field + out + ~4 bands double-buffered at tr=8
+    ub = dk._u_bytes(offsets, n, 2)
+    small = ub + 2 * 8 * 512 * 4 * 2 + 4 * (2 * 2 * 8 * 512 * 4 * 2)
+    monkeypatch.setattr(dk, "_VMEM_BUDGET", small)
+    tr, per_chunk = dk._chunk_layout(len(offsets), 2, ub)
+    assert per_chunk < len(offsets)  # chunking actually engaged
+    op = dk.make_pallas_dia_operator(bands, offsets, interpret=True)
+    y_pal = np.asarray(op(u))
+    scale = np.abs(y_ref).max()
+    np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=1e-5 * scale)
+
+
 def test_dia_pallas_applicable_rules():
     from magnetite_tpu.pallas.dia_kernel import dia_pallas_applicable
 
