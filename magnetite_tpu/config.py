@@ -141,6 +141,18 @@ class SolverOptions:
     # and x64 is enabled; "on" forces it for any sparse operator format;
     # "off" clamps cg_rtol to the working precision instead.
     refine: str = "auto"
+    # Double-float CG operator for the refined AMG (unstructured) path:
+    # the f64 CG's per-iteration band matvec runs as compensated f32-pair
+    # arithmetic in the Pallas DIA kernel (~6x XLA's emulated f64 on TPU,
+    # accuracy ~2^-46 of the term-magnitude scale -- ~2e-9 attainable
+    # relative residual at 1M elements through the stiffness matvec's
+    # cancellation). "auto" engages it on TPU when cg_rtol >= 1e-8 leaves
+    # that floor margin; "on" forces it (accepting the floor); "off"
+    # keeps the emulated-f64 matvec; "interpret" runs the kernel in
+    # interpreter mode on any backend (CPU parity tests only).
+    # Force/stress recovery and the rhs always use the true f64
+    # operator either way.
+    df_matvec: str = "auto"
     # Iteration cap for each inner f32 solve between refinement residual
     # checks, and cap on refinement passes. Multigrid inner solves converge
     # in a few dozen iterations; the cap exists for block-Jacobi inner

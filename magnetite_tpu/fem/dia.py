@@ -338,11 +338,14 @@ def make_hybrid_operator(
     rem_rows: jax.Array,
     rem_cols: jax.Array,
     impl: str = "auto",
+    dia_op=None,
 ):
     """op(u [2, N]) -> K u for the band + COO-remainder format, with the
     band part on the Pallas kernel when applicable (the remainder is a
-    small scatter-add either way)."""
-    dia_op = make_dia_operator(bands, offsets, impl=impl)
+    small scatter-add either way). `dia_op` overrides the band operator
+    (the refined solve injects the double-float kernel here)."""
+    if dia_op is None:
+        dia_op = make_dia_operator(bands, offsets, impl=impl)
 
     def op(u: jax.Array) -> jax.Array:
         y = dia_op(u)

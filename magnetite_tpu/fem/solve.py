@@ -122,6 +122,12 @@ class CoreSpec(NamedTuple):
     history: int = 0  # record ||r|| for the first N CG iterations
     progress_every: int = 0  # stream a log line every N CG iterations
     amg_sweeps: int = 0  # V-cycle pre/post sweeps; 0 = auto (see config.py)
+    # run the refined-AMG f64 CG's band matvec as compensated f32 pairs in
+    # the Pallas DIA kernel (SolverOptions.df_matvec; decided at compile
+    # time where backend/rtol/band applicability are known).
+    # "" = off, "pallas" = real kernel, "interpret" = interpreter-mode
+    # kernel (CPU parity tests)
+    df64: str = ""
 
 
 # ----------------------------- mode cores ----------------------------------
@@ -400,9 +406,26 @@ def _solve_hybrid(
                 a_op=lambda v: free32 * matvec32(free32 * v),
                 **_amg_sweep_kwargs(spec),
             )
+    op_cg = op
+    if spec.refine and spec.df64:
+        # f64 CG's per-iteration matvec as compensated f32 pairs; the rhs
+        # and the ku force recovery below keep the true f64 operator
+        from ..pallas.dia_kernel import make_df_dia_operator
+        from .dia import make_hybrid_operator as _mho
+
+        df_mv = _mho(
+            bands, offsets, rem_vals, rem_rows, rem_cols,
+            dia_op=make_df_dia_operator(
+                bands, offsets, interpret=spec.df64 == "interpret"
+            ),
+        )
+
+        def op_cg(v):
+            return free_t * df_mv(free_t * v) + (1.0 - free_t) * v
+
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
-        spec, op, precond, b, u_fixed_t, op32, precond32
+        spec, op_cg, precond, b, u_fixed_t, op32, precond32
     )
     return (
         x.T,
@@ -467,9 +490,22 @@ def _solve_dia(spec: CoreSpec, coords, tris, slot_ids, u_known, u_value, f_value
                 a_op=lambda v: free32 * matvec32(free32 * v),
                 **_amg_sweep_kwargs(spec),
             )
+    op_cg = op
+    if spec.refine and spec.df64:
+        # f64 CG's per-iteration matvec as compensated f32 pairs; the rhs
+        # and the ku force recovery below keep the true f64 operator
+        from ..pallas.dia_kernel import make_df_dia_operator
+
+        df_mv = make_df_dia_operator(
+            bands, offsets, interpret=spec.df64 == "interpret"
+        )
+
+        def op_cg(v):
+            return free_t * df_mv(free_t * v) + (1.0 - free_t) * v
+
     b = free_t * (f_t - matvec_t(u_fixed_t)) + (1.0 - free_t) * u_fixed_t
     x, iters, resnorm, converged, history = _run_linear_solve(
-        spec, op, precond, b, u_fixed_t, op32, precond32
+        spec, op_cg, precond, b, u_fixed_t, op32, precond32
     )
     return (
         x.T,
@@ -1333,6 +1369,28 @@ def compile_problem(
         timings["amg_upload_s"] = t_done - t_host
         timings["amg_levels"] = setup.level_sizes
 
+    df64 = ""
+    if (
+        options.df_matvec != "off"
+        and refine
+        and preconditioner == "amg"
+        and mode in ("dia", "hybrid")
+    ):
+        from ..pallas.dia_kernel import df_dia_pallas_applicable
+
+        applicable = df_dia_pallas_applicable(
+            tuple(int(o) for o in params.offsets), n
+        )
+        if options.df_matvec == "interpret":
+            # CPU parity tests: interpreter-mode kernel, any backend
+            df64 = "interpret" if applicable else ""
+        elif applicable and jax.default_backend() == "tpu":
+            if options.df_matvec == "on":
+                df64 = "pallas"
+            elif rtol >= 1e-8:  # "auto": rtol clears the ~2e-9 df floor
+                df64 = "pallas"
+    timings["df_matvec"] = df64
+
     spec = CoreSpec(
         mode=mode,
         params=params,
@@ -1347,6 +1405,7 @@ def compile_problem(
         history=int(options.residual_history),
         progress_every=int(options.cg_progress_every),
         amg_sweeps=int(options.amg_sweeps),
+        df64=df64,
     )
     core = _jitted_core(spec)
 

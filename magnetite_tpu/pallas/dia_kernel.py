@@ -248,6 +248,255 @@ def _dia_matvec_tiled(
     return out.reshape(m, rows_pad * cols)[:, :n_nodes]
 
 
+# ====================== double-float (f64-grade) SpMV =======================
+#
+# TPUs have no hardware f64; XLA's emulated f64 band matvec runs ~78 GB/s
+# (8.4 ms at 41 bands / 500k nodes) and is the refined AMG solve's
+# per-iteration tax (fem/solve._run_linear_solve runs ONE f64 CG whose
+# preconditioner is the f32 V-cycle). This kernel computes y = K u to
+# ~2^-46 relative-to-term-magnitude accuracy from f32 pieces:
+#
+#   K = Kh + Kl, u = uh + ul        (f32 hi/lo pairs, 48-bit significands)
+#   Kh, uh Veltkamp-split into exact 12-bit halves (b1+b2, u1+u2), so the
+#   three significant partial products b1*u1, b1*u2, b2*u1 are EXACT in
+#   f32 and accumulate through branch-free two-sum compensation (S, C);
+#   the 2^-24-scale terms b2*u2, Kh*ul, Kl*uh add plainly into C; Kl*ul
+#   (2^-48) is dropped. y = f64(S) + f64(C).
+#
+# Measured accuracy (numpy prototype on a real assembled operator):
+# err <= 1.3e-14 * sum_d |K_d||u_d| -- vs 5.6e-8 for plain f32. Through
+# the stiffness matvec's cancellation (|Ku| ~ h^2 * sum|K||u| for smooth
+# u) that is ~2e-9 attainable relative residual at 1M elements, enough
+# for the reference's 1e-8 target, at f32-pair streaming speed instead of
+# emulated-f64 speed. Veltkamp/two-sum require round-to-nearest f32 and
+# no FP reassociation -- both hold for XLA/Mosaic defaults.
+
+
+def df_split(u64: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """f64 -> (hi, lo) f32 pair with hi + lo == u to ~2^-48 relative."""
+    hi = u64.astype(jnp.float32)
+    lo = (u64 - hi.astype(u64.dtype)).astype(jnp.float32)
+    return hi, lo
+
+
+_VELTKAMP = 4097.0  # 2^(24 - 24//2) + 1: split f32 into exact 12-bit halves
+
+
+def _veltkamp(x):
+    t = jnp.float32(_VELTKAMP) * x
+    x1 = t - (t - x)
+    return x1, x - x1
+
+
+def _two_sum_acc(s, c, p):
+    """(s', c + rounding error of s + p). Branch-free Knuth two-sum."""
+    s2 = s + p
+    z = s2 - s
+    e = (s - (s2 - z)) + (p - z)
+    return s2, c + e
+
+
+def df_dia_pallas_applicable(
+    offsets: tuple[int, ...], n_nodes: int, m: int = 2
+) -> bool:
+    """Same constraints as the f32 kernel, with the hi/lo-doubled u field
+    resident and at least one double-buffered hi/lo band tile."""
+    if not offsets or n_nodes < 8 * _LANES:
+        return False
+    plan = _plan(offsets, _LANES)
+    top, dr_max = _spans(plan)
+    if top + dr_max > _MAX_ROW_SPAN:
+        return False
+    tr = 8
+    u_bytes = 2 * _u_bytes(offsets, n_nodes, m)
+    band_bytes = 2 * m * m * tr * _LANES * 4 * 2
+    out_bytes = 2 * m * tr * _LANES * 4 * 2
+    return u_bytes + band_bytes + out_bytes <= _VMEM_BUDGET
+
+
+def _df_chunk_layout(d: int, m: int, u_bytes: int) -> tuple[int, int]:
+    for tr in (32, 16, 8):
+        band_bytes = d * 2 * m * m * tr * _LANES * 4 * 2
+        out_bytes = 2 * m * tr * _LANES * 4 * 2
+        if u_bytes + band_bytes + out_bytes <= _VMEM_BUDGET:
+            return tr, d
+    tr = 8
+    out_bytes = 2 * m * tr * _LANES * 4 * 2
+    per_band = 2 * m * m * tr * _LANES * 4 * 2
+    avail = _VMEM_BUDGET - u_bytes - out_bytes
+    return tr, max(1, avail // per_band)
+
+
+def _df_kernel(
+    bt_ref, u_ref, s_ref, c_ref, *, m: int, tile_rows: int, cols: int,
+    plan, top: int, ext_len: int,
+):
+    i = pl.program_id(0)
+    f32 = jnp.float32
+    accs = [jnp.zeros((tile_rows, cols), dtype=f32) for _ in range(m)]
+    comps = [jnp.zeros((tile_rows, cols), dtype=f32) for _ in range(m)]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tile_rows, cols), 1)
+
+    # extended loads + one Veltkamp split per component, shared by every
+    # row shift below
+    exts = []
+    for comp in range(m):
+        uh = u_ref[0, comp, pl.ds(i * tile_rows, ext_len), :]
+        ul = u_ref[1, comp, pl.ds(i * tile_rows, ext_len), :]
+        u1, u2 = _veltkamp(uh)
+        exts.append((u1, u2, uh, ul))
+
+    slices: dict[int, tuple] = {}
+
+    def row_slice(dr: int):
+        if dr not in slices:
+            s = top + dr
+            slices[dr] = tuple(
+                tuple(
+                    jax.lax.slice_in_dim(a, s, s + tile_rows, axis=0)
+                    for a in exts[comp]
+                )
+                for comp in range(m)
+            )
+        return slices[dr]
+
+    for d_idx, (dr, dt) in enumerate(plan):
+        a = row_slice(dr)
+        if dt == 0:
+            v = a
+        else:
+            b = row_slice(dr + 1)
+            shift = jnp.int32((-dt) % cols)
+            carry = lane >= cols - dt
+            v = tuple(
+                tuple(
+                    jnp.where(
+                        carry, pltpu.roll(b[comp][k], shift, axis=1),
+                        pltpu.roll(a[comp][k], shift, axis=1),
+                    )
+                    for k in range(4)
+                )
+                for comp in range(m)
+            )
+        for ci in range(m):
+            s_acc, c_acc = accs[ci], comps[ci]
+            for cj in range(m):
+                u1, u2, uh, ul = v[cj]
+                bh = bt_ref[0, d_idx, 0, ci, cj]
+                bl = bt_ref[0, d_idx, 1, ci, cj]
+                b1, b2 = _veltkamp(bh)
+                s_acc, c_acc = _two_sum_acc(s_acc, c_acc, b1 * u1)
+                s_acc, c_acc = _two_sum_acc(s_acc, c_acc, b1 * u2)
+                s_acc, c_acc = _two_sum_acc(s_acc, c_acc, b2 * u1)
+                c_acc = c_acc + b2 * u2 + bh * ul + bl * uh
+            accs[ci], comps[ci] = s_acc, c_acc
+    for ci in range(m):
+        s_ref[ci] = accs[ci]
+        c_ref[ci] = comps[ci]
+
+
+@partial(
+    jax.jit, static_argnames=("offsets", "n_nodes", "cols", "interpret")
+)
+def _df_dia_matvec_tiled(
+    bands_tiled: jax.Array,
+    uh: jax.Array,
+    ul: jax.Array,
+    offsets: tuple[int, ...],
+    n_nodes: int,
+    cols: int,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """(S, C) f32 partial pair from pre-tiled hi/lo bands
+    [G, D, 2, m, m, tr, C]; uh/ul [m, N] f32. y = f64(S) + f64(C)."""
+    g, d, _, m, _, tr, _ = bands_tiled.shape
+    rows_pad = g * tr
+    plan = _plan(offsets, cols)
+    top, dr_max = _spans(plan)
+    ext_len = tr + top + dr_max
+    ext_len = -(-ext_len // 8) * 8
+    bot = ext_len - tr
+
+    u = jnp.stack([uh, ul])  # [2, m, N]
+    u2 = jnp.pad(u, ((0, 0), (0, 0), (0, rows_pad * cols - n_nodes)))
+    u2 = u2.reshape(2, m, rows_pad, cols)
+    u_pad = jnp.pad(u2, ((0, 0), (0, 0), (top, bot), (0, 0)))
+
+    out_shape = jax.ShapeDtypeStruct((m, rows_pad, cols), jnp.float32)
+    s, c = pl.pallas_call(
+        partial(
+            _df_kernel, m=m, tile_rows=tr, cols=cols, plan=plan, top=top,
+            ext_len=ext_len,
+        ),
+        out_shape=(out_shape, out_shape),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, d, 2, m, m, tr, cols),
+                lambda i: (i, i * 0, i * 0, i * 0, i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2, m, rows_pad + top + bot, cols),
+                lambda i: (i * 0, i * 0, i * 0, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (m, tr, cols), lambda i: (i * 0, i, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (m, tr, cols), lambda i: (i * 0, i, i * 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        interpret=interpret,
+    )(bands_tiled, u_pad)
+    s = s.reshape(m, rows_pad * cols)[:, :n_nodes]
+    c = c.reshape(m, rows_pad * cols)[:, :n_nodes]
+    return s, c
+
+
+def make_df_dia_operator(
+    bands64: jax.Array, offsets: tuple[int, ...], interpret: bool = False
+):
+    """op(u [m, N] f64) -> K u to ~2^-46 term-relative accuracy, with all
+    streaming in f32 pairs. `bands64` are the f64 bands; the hi/lo split
+    and pre-tiling trace once per solve (outside the CG loop).
+
+    Callers must have checked `df_dia_pallas_applicable`."""
+    d, m = int(bands64.shape[0]), int(bands64.shape[1])
+    n = int(bands64.shape[-1])
+    cols = _LANES
+    offsets = tuple(int(o) for o in offsets)
+    tr, per_chunk = _df_chunk_layout(d, m, 2 * _u_bytes(offsets, n, m))
+    bh, bl = df_split(bands64)
+    bhl = jnp.stack([bh, bl], axis=1)  # [D, 2, m, m, N]
+    chunks = []
+    for s in range(0, d, per_chunk):
+        sub = offsets[s : s + per_chunk]
+        part = bhl[s : s + per_chunk].reshape(-1, m, m, n)
+        tiled = pretile_dia_bands(part, tr, cols)
+        g = tiled.shape[0]
+        tiled = tiled.reshape(g, len(sub), 2, m, m, tr, cols)
+        chunks.append((tiled, sub))
+
+    def op(u64: jax.Array) -> jax.Array:
+        uh, ul = df_split(u64)
+        y = jnp.zeros_like(u64)
+        for bt, sub in chunks:
+            s, c = _df_dia_matvec_tiled(
+                bt, uh, ul, sub, n, cols, interpret=interpret
+            )
+            y = y + s.astype(u64.dtype) + c.astype(u64.dtype)
+        return y
+
+    return op
+
+
 def make_pallas_dia_operator(
     bands: jax.Array, offsets: tuple[int, ...], interpret: bool = False
 ):

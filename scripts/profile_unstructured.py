@@ -239,9 +239,16 @@ def main():
         return pair
 
     def make_coarse_only(aux):
+        # mirror make_amg_preconditioner exactly: V(1,1) below the fine
+        # level, banded coarse operators when present
         transfers_, coarse_, ci_ = aux[:3]
         cyc = make_coarse_cycle(
-            transfers_[1:], coarse_, ci_, pre_sweeps=s, post_sweeps=s
+            transfers_[1:],
+            coarse_,
+            ci_,
+            pre_sweeps=1,
+            post_sweeps=1,
+            coarse_bands=aux[4] if len(aux) > 4 else (),
         )
         return lambda rc: cyc(0, rc)
 
@@ -253,10 +260,26 @@ def main():
         rng.standard_normal((n1, 3)), dtype=jnp.float32
     )
 
+    def make_dfop(aux):
+        # the refined CG's compensated f32-pair band matvec
+        # (pallas/dia_kernel.make_df_dia_operator), boundary-wrapped the
+        # way _solve_dia wires it
+        from magnetite_tpu.pallas.dia_kernel import make_df_dia_operator
+
+        bands_, free_ = aux
+        mv = make_df_dia_operator(bands_, offsets)
+
+        def op(v):
+            return free_ * mv(free_ * v) + (1.0 - free_) * v
+
+        return op
+
     d = len(offsets)
     mv_bytes = {  # bands + read u + write y
         "op64_ms": (d * 4 * n + 4 * n) * 8,
         "op32_ms": (d * 4 * n + 4 * n) * 4,
+        # hi/lo f32 pairs move the same bytes as native f64
+        "dfop_ms": (d * 4 * n + 4 * n) * 8,
     }
     out = {"elements": mesh.num_elements, "nodes": n, "n_bands": d}
     out["transfer_shapes"] = [list(t[0].shape) for t in transfers]
@@ -264,6 +287,7 @@ def main():
     for name, make_fn, aux, x in (
         ("op64_ms", make_op, (bands64, free64), x64),
         ("op32_ms", make_op, (bands32, free32), x32),
+        ("dfop_ms", make_dfop, (bands64, free64), x64),
         ("jac32_ms", make_jac, (bands32, free32), x32),
         ("vcycle32_ms", make_vcycle, (amg_args, bands32, free32), x32),
         ("precond64_ms", make_precond64, (amg_args, bands32, free32), x64),
@@ -274,7 +298,7 @@ def main():
             (fast0, (bands32, free32)) if fast0 else transfers[0],
             xc32,
         ),
-        ("coarse_cycle_ms", make_coarse_only, (transfers, coarse, ci), xc32),
+        ("coarse_cycle_ms", make_coarse_only, amg_args, xc32),
     ):
         ms = _chain_ms(make_fn, aux, x)
         out[name] = round(ms, 3)

@@ -516,6 +516,50 @@ def test_amg_sweeps_auto_cuts_refined_iterations(plate):
     )
 
 
+def test_df_matvec_interpret_reaches_f64_residuals():
+    """df_matvec='interpret' (compensated f32-pair band matvec inside the
+    refined f64 CG, Pallas interpreter mode) must engage on this problem,
+    reach the same 1e-8 relative residual as the emulated-f64 matvec, and
+    agree on displacements to f64-grade accuracy.
+
+    Needs its own mesh: the kernel wants >= 8 * 512-lane rows (~4.1k
+    nodes), finer than the shared 2.1k-node plate fixture."""
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    plate = triangulate([outer, hole], 0.0, 0.025)
+    assert plate.num_nodes >= 8 * 512
+    bca = apply_boundary_conditions(plate.coords, _rules())
+    base = compile_problem(
+        plate,
+        bca,
+        MD,
+        SolverOptions(
+            preconditioner="amg", refine="on", cg_rtol=1e-8, df_matvec="off"
+        ),
+    )
+    assert base.timings["df_matvec"] == ""
+    res0 = base.solve()
+    df = compile_problem(
+        plate,
+        bca,
+        MD,
+        SolverOptions(
+            preconditioner="amg",
+            refine="on",
+            cg_rtol=1e-8,
+            df_matvec="interpret",
+        ),
+        amg_setup=base.amg_setup,  # same hierarchy: isolate the matvec
+    )
+    assert df.timings["df_matvec"] == "interpret"
+    res1 = df.solve()
+    assert res0.residual_rel < 1e-8
+    assert res1.residual_rel < 1e-8
+    np.testing.assert_allclose(
+        res1.u, res0.u, atol=1e-9 * np.abs(res0.u).max()
+    )
+
+
 def test_amg_sweep_schedule_policy():
     """The shared schedule policy (fem.amg.amg_sweep_schedule): V(3,3)
     only under mixed precision, V(1,1) same-precision, override wins."""

@@ -231,6 +231,64 @@ def test_pallas_dia_chunked_matches(monkeypatch):
     np.testing.assert_allclose(y_pal, y_ref, rtol=2e-5, atol=1e-5 * scale)
 
 
+def test_df_dia_kernel_f64_grade_accuracy(metadata):
+    """The double-float kernel must track the true f64 matvec to
+    ~2^-46 of the term-magnitude scale on a REAL operator with a SMOOTH
+    field (the worst case: |Ku| << sum|K||u| cancellation), where plain
+    f32 sits at ~2^-24."""
+    from magnetite_tpu.fem.dia import (
+        assemble_dia,
+        build_dia_structure,
+        dia_matvec,
+    )
+    from magnetite_tpu.fem.element import element_stiffness_matrices
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from magnetite_tpu.pallas.dia_kernel import (
+        df_dia_pallas_applicable,
+        make_df_dia_operator,
+    )
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    mesh = triangulate([outer], 0.0, 0.02)
+    n = mesh.num_nodes
+    s = build_dia_structure(mesh.tris, n)
+    ke = element_stiffness_matrices(
+        jnp.asarray(mesh.coords, jnp.float64),
+        jnp.asarray(mesh.tris),
+        metadata.youngs_modulus,
+        metadata.poisson_ratio,
+        metadata.part_thickness,
+    )
+    bands = assemble_dia(ke, s.slot_ids, n, s.n_diags).astype(jnp.float64)
+    offsets = tuple(int(o) for o in s.offsets)
+    assert df_dia_pallas_applicable(offsets, n)
+
+    x, y = mesh.coords[:, 0], mesh.coords[:, 1]
+    u = jnp.asarray(
+        np.stack([0.01 * np.sin(x) * np.cosh(y), 0.005 * np.cos(x) * y**2])
+    )
+    y64 = np.asarray(dia_matvec(bands, offsets, u))
+    op = make_df_dia_operator(bands, offsets, interpret=True)
+    ydf = np.asarray(op(u))
+
+    nb = np.asarray(bands)
+    scale = np.zeros((2, n))
+    for d_idx, off in enumerate(offsets):
+        sh = np.abs(np.roll(np.asarray(u), -off, axis=1))
+        for i in range(2):
+            for j in range(2):
+                scale[i] += np.abs(nb[d_idx, i, j]) * sh[j]
+    err = np.abs(ydf - y64).max() / scale.max()
+    assert err < 1e-13, err  # measured ~1.3e-14; plain f32 is ~5.6e-8
+
+    # random field too (no cancellation; checks the plumbing broadly)
+    rng = np.random.default_rng(7)
+    ur = jnp.asarray(rng.standard_normal((2, n)))
+    yr = np.asarray(dia_matvec(bands, offsets, ur))
+    ydfr = np.asarray(op(ur))
+    np.testing.assert_allclose(ydfr, yr, rtol=1e-10, atol=1e-12 * np.abs(yr).max())
+
+
 def test_dia_pallas_applicable_rules():
     from magnetite_tpu.pallas.dia_kernel import dia_pallas_applicable
 
