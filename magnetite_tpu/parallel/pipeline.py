@@ -720,6 +720,7 @@ def _compile_sharded(
         refined=dia_refined,
         amg_sweeps=int(options.amg_sweeps),
         history=int(options.residual_history),
+        df_matvec=options.df_matvec,
     )
     spec_b = (
         P(None, None, None, axis)
