@@ -264,6 +264,8 @@ def _phase_unstructured():
     extras["unstructured_cg_iters"] = int(np.asarray(out[5]))
     extras["unstructured_operator"] = problem.mode
     extras["unstructured_preconditioner"] = problem.preconditioner
+    # "" = emulated-f64 CG matvec, "pallas" = double-float kernel
+    extras["unstructured_df_matvec"] = problem.timings.get("df_matvec", "")
     extras["unstructured_residual_rel"] = resnorm / bnorm
 
     # the amortized path: checkpoint mesh + AMG hierarchy + assembled
