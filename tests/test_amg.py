@@ -559,6 +559,30 @@ def test_df_matvec_interpret_reaches_f64_residuals():
         res1.u, res0.u, atol=1e-9 * np.abs(res0.u).max()
     )
 
+    # the hybrid operator wires the df kernel through the band part of
+    # band+COO-remainder (_solve_hybrid's dia_op override); forcing
+    # operator='hybrid' on this banded mesh exercises that path
+    hyb = compile_problem(
+        plate,
+        bca,
+        MD,
+        SolverOptions(
+            preconditioner="amg",
+            refine="on",
+            cg_rtol=1e-8,
+            df_matvec="interpret",
+            operator="hybrid",
+        ),
+        amg_setup=base.amg_setup,
+    )
+    assert hyb.mode == "hybrid"
+    assert hyb.timings["df_matvec"] == "interpret"
+    res2 = hyb.solve()
+    assert res2.residual_rel < 1e-8
+    np.testing.assert_allclose(
+        res2.u, res0.u, atol=1e-9 * np.abs(res0.u).max()
+    )
+
 
 def test_amg_sweep_schedule_policy():
     """The shared schedule policy (fem.amg.amg_sweep_schedule): V(3,3)
