@@ -98,6 +98,9 @@ class SolverOptions:
     # f64-refined solve-time crossover sits at ~5k nodes (0.318 s bj vs
     # 0.313 s amg at 5013), and the f32 serving config wins well below it
     # (6204 nodes: 0.060 s / 471 iters bj vs 0.028 s / 8 iters amg).
+    # Exception: TINY meshes (2*nodes <= fem.amg._DENSE_COARSE_MAX_DOF)
+    # auto-select "amg" anyway -- the "hierarchy" there is one exact dense
+    # inverse (milliseconds to build, ~2 CG iterations).
     amg_auto_min_nodes: int = 5_000
     # Aggregate diameter in median-edge-lengths (~cell_factor^2 nodes per
     # aggregate); 3.0 is the standard SA sweet spot.
@@ -153,6 +156,15 @@ class SolverOptions:
     # Force/stress recovery and the rhs always use the true f64
     # operator either way.
     df_matvec: str = "auto"
+    # Operator assembly strategy for the irregular formats (dia/hybrid/
+    # ell). "host": C++ closed-form assembly + flat upload (up to ~336 MB
+    # f64 at 1M elements over the tunnel -- upload-weather-bound).
+    # "device": fused scalar-field assembly ON the accelerator from the
+    # resident mesh arrays (~6% of the upload bytes; pays an f64
+    # segment_sum and disables keep_operator_host / persist.save_operator,
+    # which have no host flat to keep). "auto" = host when the native
+    # library is available, device otherwise.
+    assembly: str = "auto"
     # Iteration cap for each inner f32 solve between refinement residual
     # checks, and cap on refinement passes. Multigrid inner solves converge
     # in a few dozen iterations; the cap exists for block-Jacobi inner

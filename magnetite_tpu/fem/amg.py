@@ -648,7 +648,12 @@ def build_amg_setup(
 
     coarsest_inv = None
     nl, ml = level_sizes[-1]
-    if len(level_sizes) > 1 and nl * ml <= coarse_dof:
+    # also when the mesh never coarsened (tiny meshes, n*2 <= coarse_dof):
+    # rows/cols/vals then hold the level-0 BC-masked assembly and the
+    # "hierarchy" is one exact dense inverse -- CG converges in ~2
+    # iterations instead of the O(1/h) block-Jacobi counts
+    # (make_amg_preconditioner's single-level ci branch)
+    if nl * ml <= coarse_dof:
         dense = np.zeros((nl, ml, nl, ml))
         dense[rows, :, cols, :] = vals
         dense = dense.reshape(nl * ml, nl * ml)
@@ -892,10 +897,12 @@ def material_amg_device_arrays(setup: AMGMaterialSetup, dtype) -> tuple:
     return (transfers, coarse)
 
 
-def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
+def amg_device_arrays(
+    setup: AMGSetup, dtype, transfer_plan: str = "auto", lanes: bool = False
+) -> tuple:
     """Upload the hierarchy as a jit-traceable pytree of device arrays:
-    (transfers, coarse, ci, fast0, coarse_bands) -- fast0 is () when the
-    setup predates the factored transfer (old persisted caches).
+    (transfers, coarse, ci, fast0, coarse_bands, plan) -- fast0 is () when
+    the setup predates the factored transfer (old persisted caches).
 
     coarse_bands[l] is a BandedOp (DIA form of coarse_ops[l], derived here
     from the ELL arrays -- persisted caches need no new format) or None
@@ -906,8 +913,27 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
     When fast0 is present, the level-0 smoothed transfer ELL pair (by far
     the largest hierarchy arrays AND the V-cycle's dominant cost as
     gathers) is neither uploaded nor applied -- the V-cycle uses the
-    factored form (see make_amg_preconditioner). A zero-size placeholder
-    keeps the transfers tuple aligned with coarse levels.
+    factored form (see make_amg_preconditioner).
+
+    `plan` is a pallas/transfer_kernel.TransferPlan (or ()) replacing the
+    factored form's remaining XLA gathers with the windowed one-hot
+    kernel pair -- measured 0.58 ms vs 4.5 ms at 500k nodes on v5e.
+    `transfer_plan`: "auto" builds it on TPU backends for f32
+    hierarchies; "off" keeps the gather arrays (required for the
+    lane-batched "tl" sweep layout, which the kernel does not serve);
+    "interpret" builds it with the interpreter-mode kernel (CPU parity
+    tests). When the plan lands, the gather-form fast0 arrays (agg +
+    P0^T ELL pair, ~21 MB at 500k nodes) are skipped in favor of the
+    plan's lid/p06 (~14 MB); zero-size placeholders keep the arity.
+
+    `lanes` declares the consumer: lane-batched sweep V-cycles (True) run
+    coarse smoothing on the gather ELL (the lane axis broadcasts through
+    the gather) and never touch the DIA bands; single-vector solves
+    (False) smooth on the bands and never touch the ELL values of banded
+    levels. Each mode uploads only what it applies -- the other form gets
+    zero-size placeholders (the coarse operator otherwise ships twice,
+    up to _COARSE_MAX_DIAGS*m*m*n_l floats per level). `lanes=True`
+    implies `transfer_plan="off"`.
 
     All arrays ride `packed_device_put` (grouped by dtype, chunked, sliced
     apart on device): per-array eager uploads cost ~26 ms tunnel dispatch
@@ -918,19 +944,45 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
         a = np.asarray(a)
         return a.astype(dt) if dt is not None and a.dtype != dt else a
 
+    if lanes:
+        transfer_plan = "off"
     skip0 = setup.fast0 is not None and len(setup.transfers) > 0
 
+    plan_host = None
+    if skip0 and transfer_plan != "off":
+        applicable = transfer_plan == "interpret" or (
+            jax.default_backend() == "tpu"
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+        )
+        if applicable:
+            from ..pallas.transfer_kernel import build_transfer_plan
+
+            agg0, p00 = setup.fast0[0], setup.fast0[1]
+            plan_host = build_transfer_plan(
+                np.asarray(agg0, np.int64),
+                np.asarray(p00),
+                setup.level_sizes[1][0],
+                interpret=transfer_plan == "interpret",
+            )
+
     band_specs = [
-        _ell_to_bands(ac, av) for ac, av, _ in setup.coarse_ops
+        None if lanes else _ell_to_bands(ac, av)
+        for ac, av, _ in setup.coarse_ops
     ]
+    # single-vector consumers smooth banded levels on the bands; their
+    # ELL form would be dead weight on the tunnel
+    skip_ell = [spec is not None for spec in band_specs]
 
     host: list = []
     for l, (pc, pv, tc, tv) in enumerate(setup.transfers):
         if skip0 and l == 0:
             continue
         host += [_cast(pc, None), _cast(pv, dtype), _cast(tc, None), _cast(tv, dtype)]
-    for ac, av, di in setup.coarse_ops:
-        host += [_cast(ac, None), _cast(av, dtype), _cast(di, dtype)]
+    for (ac, av, di), skip in zip(setup.coarse_ops, skip_ell):
+        if skip:
+            host.append(_cast(di, dtype))
+        else:
+            host += [_cast(ac, None), _cast(av, dtype), _cast(di, dtype)]
     for spec in band_specs:
         if spec is not None:
             host.append(_cast(spec[1], dtype))
@@ -938,10 +990,16 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
         host.append(_cast(setup.coarsest_inv, dtype))
     if setup.fast0 is not None:
         agg, p0, ptc, ptv, dw = setup.fast0
-        host += [
-            _cast(agg, None), _cast(p0, dtype), _cast(ptc, None),
-            _cast(ptv, dtype), _cast(dw, dtype),
-        ]
+        if plan_host is not None:
+            # the kernel plan replaces every gather-form apply; only the
+            # smoothing diagonal still rides fast0
+            host.append(_cast(dw, dtype))
+            host += [plan_host.lid, plan_host.kwin, plan_host.p06]
+        else:
+            host += [
+                _cast(agg, None), _cast(p0, dtype), _cast(ptc, None),
+                _cast(ptv, dtype), _cast(dw, dtype),
+            ]
 
     dev = packed_device_put(host)
     it = iter(dev)
@@ -954,18 +1012,48 @@ def amg_device_arrays(setup: AMGSetup, dtype) -> tuple:
             transfers.append((z, zv, z, zv))
         else:
             transfers.append((next(it), next(it), next(it), next(it)))
-    coarse = tuple((next(it), next(it), next(it)) for _ in setup.coarse_ops)
+    coarse = []
+    for skip in skip_ell:
+        if skip:
+            coarse.append(
+                (
+                    jnp.zeros((0, 0), dtype=jnp.int32),
+                    jnp.zeros((0,), dtype=dtype),
+                    next(it),
+                )
+            )
+        else:
+            coarse.append((next(it), next(it), next(it)))
+    coarse = tuple(coarse)
     coarse_bands = tuple(
         BandedOp(next(it), spec[0]) if spec is not None else None
         for spec in band_specs
     )
     ci = (next(it),) if setup.coarsest_inv is not None else ()
-    fast0 = (
-        (next(it), next(it), next(it), next(it), next(it))
-        if setup.fast0 is not None
-        else ()
-    )
-    return (tuple(transfers), coarse, ci, fast0, coarse_bands)
+    fast0: tuple = ()
+    plan: tuple = ()
+    if setup.fast0 is not None:
+        if plan_host is not None:
+            z = jnp.zeros((0,), dtype=jnp.int32)
+            zv = jnp.zeros((0,), dtype=dtype)
+            fast0 = (z, zv, z, zv, next(it))
+            from ..pallas.transfer_kernel import TransferPlan
+
+            plan = (
+                TransferPlan(
+                    lid=next(it),
+                    kwin=next(it),
+                    p06=next(it),
+                    w=plan_host.w,
+                    n0=plan_host.n0,
+                    n0p=plan_host.n0p,
+                    n1p=plan_host.n1p,
+                    interpret=plan_host.interpret,
+                ),
+            )
+        else:
+            fast0 = (next(it), next(it), next(it), next(it), next(it))
+    return (tuple(transfers), coarse, ci, fast0, coarse_bands, plan)
 
 
 # =========================== device V-cycle =================================
@@ -1108,7 +1196,10 @@ def make_amg_preconditioner(
     adjoint and the V-cycle remains a valid SPD preconditioner.
     """
     coarse_bands = ()
-    if len(amg) == 5:
+    plan = ()
+    if len(amg) == 6:
+        transfers, coarse, ci, fast0, coarse_bands, plan = amg
+    elif len(amg) == 5:
         transfers, coarse, ci, fast0, coarse_bands = amg
     elif len(amg) == 4:
         transfers, coarse, ci, fast0 = amg
@@ -1123,6 +1214,16 @@ def make_amg_preconditioner(
             "masked operator free*K*free in the level-0 layout"
         )
     use_fast = bool(fast0) and n_levels > 1 and a_op is not None
+    # the pallas windowed transfer kernel serves single-vector layouts;
+    # lane-batched sweeps ("tl") need the gather arrays -- their upload
+    # must have been done with transfer_plan="off"
+    use_plan = use_fast and bool(plan) and layout in ("t", "n")
+    if bool(plan) and layout == "tl" and fast0 and fast0[0].size == 0:
+        raise ValueError(
+            "lane-batched ('tl') V-cycles need the gather-form level-0 "
+            "transfer arrays; upload the hierarchy with "
+            "amg_device_arrays(..., transfer_plan='off')"
+        )
 
     def to_nodes(r):
         if layout == "tl":
@@ -1163,22 +1264,47 @@ def make_amg_preconditioner(
                 return jnp.einsum("nij,jnb->inb", dinv0w, v, **hp)
             return jnp.einsum("nij,jn->in", dinv0w, v, **hp)
 
-        def restrict(res):  # P^T res, res in level-0 layout -> [n1, 3(, B)]
-            tmp = res - a_op(dinv_apply(res))
-            if layout == "n":
-                return jnp.einsum("nwij,nwj->ni", pt0_vals, tmp[pt0_cols], **hp)
-            if layout == "tl":
-                return jnp.einsum(
-                    "nwij,jnwb->nib", pt0_vals, tmp[:, pt0_cols], **hp
-                )
-            return jnp.einsum("nwij,jnw->ni", pt0_vals, tmp[:, pt0_cols], **hp)
+        if use_plan:
+            # pallas windowed one-hot P0/P0^T pair (no gathers); the
+            # kernels speak the [2, N] band layout
+            from ..pallas.transfer_kernel import make_plan_transfers
 
-        def prolong(ec):  # P ec -> correction in level-0 layout
-            if layout == "tl":
-                uf = from_nodes(jnp.einsum("nij,njb->nib", p0, ec[agg], **hp))
-            else:
-                uf = from_nodes(jnp.einsum("nij,nj->ni", p0, ec[agg], **hp))
-            return uf - dinv_apply(a_op(uf))
+            n1 = coarse[0][2].shape[0]
+            k_prolong, k_restrict = make_plan_transfers(plan[0], n1)
+
+            def restrict(res):
+                tmp = res - a_op(dinv_apply(res))
+                return k_restrict(tmp if layout == "t" else tmp.T)
+
+            def prolong(ec):
+                u0 = k_prolong(ec)
+                uf = u0 if layout == "t" else u0.T
+                return uf - dinv_apply(a_op(uf))
+
+        else:
+
+            def restrict(res):  # P^T res in level-0 layout -> [n1, 3(, B)]
+                tmp = res - a_op(dinv_apply(res))
+                if layout == "n":
+                    return jnp.einsum(
+                        "nwij,nwj->ni", pt0_vals, tmp[pt0_cols], **hp
+                    )
+                if layout == "tl":
+                    return jnp.einsum(
+                        "nwij,jnwb->nib", pt0_vals, tmp[:, pt0_cols], **hp
+                    )
+                return jnp.einsum(
+                    "nwij,jnw->ni", pt0_vals, tmp[:, pt0_cols], **hp
+                )
+
+            def prolong(ec):  # P ec -> correction in level-0 layout
+                if layout == "tl":
+                    uf = from_nodes(
+                        jnp.einsum("nij,njb->nib", p0, ec[agg], **hp)
+                    )
+                else:
+                    uf = from_nodes(jnp.einsum("nij,nj->ni", p0, ec[agg], **hp))
+                return uf - dinv_apply(a_op(uf))
 
     def apply(r):
         # level 0 on the injected fast operator, in its native layout

@@ -1065,6 +1065,9 @@ def compile_problem(
     build, renumbering, and the host C++ assembly; a mismatch (different
     mesh bytes, BC mask, or material) is warned about and ignored.
     """
+    from ..utils.jaxcache import ensure_default_cache
+
+    ensure_default_cache()
     timings: dict = {}
     dtype = default_dtype(options)
     n = mesh.num_nodes
@@ -1291,11 +1294,21 @@ def compile_problem(
         else:
             # unstructured at scale: smoothed-aggregation AMG holds CG
             # iteration counts mesh-independent (fem/amg.py); below the
-            # threshold the hierarchy setup outweighs the saved iterations
+            # threshold the hierarchy setup outweighs the saved iterations.
+            # TINY meshes (n*2 under the dense-coarsest cap) get "amg" too:
+            # there build_amg_setup degenerates to one exact dense inverse
+            # (a single [2N, 2N] MXU matmul per apply, ~2 CG iterations vs
+            # the O(1/h) block-Jacobi counts -- 170 on the 465-node
+            # linkedin mesh)
+            from .amg import _DENSE_COARSE_MAX_DOF
+
             preconditioner = (
                 "amg"
                 if mode in ("dia", "hybrid", "ell")
-                and n >= options.amg_auto_min_nodes
+                and (
+                    n >= options.amg_auto_min_nodes
+                    or 2 * n <= _DENSE_COARSE_MAX_DOF
+                )
                 else "block_jacobi"
             )
     elif preconditioner == "multigrid" and mode != "stencil":
@@ -1310,6 +1323,87 @@ def compile_problem(
             "'multigrid'"
         )
     timings["preconditioner"] = preconditioner
+
+    # refinement computes the operator + residual in f64, inner solves f32
+    upload_dtype = np.dtype(np.float64) if refine else dtype
+
+    # ---- operator assembly FIRST, upload issued async: the flat operator
+    # (up to ~336 MB f64 at 1M elements) streams over the tunnel WHILE the
+    # AMG hierarchy builds on host below -- the two are independent, and
+    # serializing them (r4) made prep the SUM of build and upload instead
+    # of roughly their max. The single sync point is at the end.
+    assembled = ()
+    operator_host = None
+    flat_host = None
+    flat_is_half = False
+    asm_mode = str(options.assembly)
+    if mode in ("dia", "hybrid", "ell"):
+        t0 = time.perf_counter()
+        resumed_op = (
+            operator_cache is not None and mode == operator_cache.mode
+        )
+        if asm_mode not in ("auto", "host", "device"):
+            raise InputError(
+                f"unknown assembly mode '{asm_mode}' (auto | host | device)"
+            )
+        if asm_mode != "device":
+            flat_host = (
+                operator_cache.flat
+                if resumed_op
+                else _assemble_host_flat(
+                    mode, params, mesh, cols, slot_ids, metadata
+                )
+            )
+        flat_is_half = bool(
+            resumed_op and operator_cache.sym_half and flat_host is not None
+        )
+        timings["assemble_build_s"] = time.perf_counter() - t0
+        if flat_host is not None:
+            t_up = time.perf_counter()
+            assembled = _upload_flat_device(
+                mode, params, n, cols, flat_host, upload_dtype,
+                flat_is_half=flat_is_half,
+            )
+            # issue time only -- the tail keeps streaming during the AMG
+            # host build; prep_sync_s below captures the residual wait
+            timings["assemble_issue_s"] = time.perf_counter() - t_up
+            neg = _sym_half_offsets(mode, params)
+            half_slots = (
+                flat_host.shape[0]
+                if flat_is_half or not neg
+                else flat_host.shape[0] - len(neg) * n
+            )
+            timings["assemble_upload_bytes"] = int(
+                half_slots
+                * int(np.prod(flat_host.shape[1:]))
+                * np.dtype(upload_dtype).itemsize
+            )
+            if input_mesh_hash is not None and options.keep_operator_host:
+                # keep only the d >= 0 half when symmetry allows: halves
+                # the pinned host memory (and persist.save_operator bytes)
+                flat_keep = np.asarray(flat_host)
+                keep_half = flat_is_half
+                if neg and not flat_is_half:
+                    flat_keep = flat_keep[len(neg) * n :].copy()
+                    keep_half = True
+                operator_host = OperatorCache(
+                    mesh_hash=input_mesh_hash,
+                    material=(
+                        float(metadata.youngs_modulus),
+                        float(metadata.poisson_ratio),
+                        float(metadata.part_thickness),
+                    ),
+                    mode=mode,
+                    offsets=tuple(params.offsets)
+                    if params is not None
+                    else (),
+                    flat=flat_keep,
+                    cols=np.asarray(cols)
+                    if mode in ("hybrid", "ell")
+                    else None,
+                    perm=perm,
+                    sym_half=keep_half,
+                )
 
     amg_args = ((), (), (), ())
     setup = None
@@ -1356,17 +1450,19 @@ def compile_problem(
         # refinement runs the V-cycle only inside the f32 inner solves
         amg_dtype = np.float32 if refine else dtype
         amg_args = amg_device_arrays(setup, amg_dtype)
-        # sync before the timestamp: packed_device_put leaves its last
-        # group in flight, and an unsynced tail would leak into the
-        # next timing bucket, corrupting the build/upload attribution
-        jax.block_until_ready(amg_args)
         t_done = time.perf_counter()
-        # split host build from the tunnel-weather-sensitive upload so
-        # bench numbers stay diagnosable (the shared-TPU tunnel's
-        # bandwidth varies run to run; the host build does not)
-        timings["amg_setup_s"] = t_done - t0
+        # split host build (weather-independent) from put ISSUE time; the
+        # in-flight tail (shared with the operator upload ahead of it in
+        # the transfer FIFO) lands in prep_sync_s at the single sync point
         timings["amg_build_s"] = t_host - t0
-        timings["amg_upload_s"] = t_done - t_host
+        timings["amg_issue_s"] = t_done - t_host
+        timings["amg_upload_bytes"] = int(
+            sum(
+                x.nbytes
+                for x in jax.tree_util.tree_leaves(amg_args)
+                if hasattr(x, "nbytes")
+            )
+        )
         timings["amg_levels"] = setup.level_sizes
 
     df64 = ""
@@ -1389,6 +1485,19 @@ def compile_problem(
                 df64 = "pallas"
             elif rtol >= 1e-8:  # "auto": rtol clears the ~2e-9 df floor
                 df64 = "pallas"
+        if df64 and rtol < 2e-9:
+            # forced df below the kernel's compensation floor: the CG
+            # convergence test measures the f32-pair operator, whose
+            # ~2^-46 term-relative floor means residuals below ~2e-9
+            # relative may not hold against the true f64 operator
+            from ..utils.logging import log
+
+            log(
+                f"warning: df_matvec with cg_rtol {rtol:.1e} is below the "
+                "double-float kernel's ~2e-9 attainable relative residual; "
+                "reported residuals are measured against the compensated "
+                "f32-pair operator (set df_matvec='off' for true f64)"
+            )
     timings["df_matvec"] = df64
 
     spec = CoreSpec(
@@ -1409,15 +1518,12 @@ def compile_problem(
     )
     core = _jitted_core(spec)
 
-    # refinement computes the operator + residual in f64, inner solves f32
-    upload_dtype = np.dtype(np.float64) if refine else dtype
-
     t0 = time.perf_counter()
     # slot_ids are an ASSEMBLY input only; every solve core ignores them
     # (the operator is resident by solve time). A fixed dummy keeps the
     # core's jit signature identical across fresh and operator-cache
     # resumed compiles (and skips a ~36 MB upload); the device-assembly
-    # fallback below uploads the real ids just for its own jit.
+    # path below uploads the real ids just for its own jit.
     args = (
         jnp.asarray(mesh.coords, dtype=upload_dtype),
         jnp.asarray(mesh.tris, dtype=jnp.int32),
@@ -1433,74 +1539,40 @@ def compile_problem(
         upload_dtype.type(metadata.part_thickness),
         amg_args,
     )
-    jax.block_until_ready(args[:7])
     timings["upload_s"] = time.perf_counter() - t0
 
-    # irregular formats: assemble the operator ONCE at compile time (the
-    # refine path's f64 scatter would otherwise dominate every solve call).
-    # A matching persisted OperatorCache skips straight to the upload;
-    # otherwise host C++ closed-form assembly + memcpy upload when
-    # available, the device segment_sum if the native library is not.
-    assembled = ()
-    operator_host = None
-    if mode in ("dia", "hybrid", "ell"):
+    # irregular formats without a host flat (native library missing, or
+    # assembly="device"): fused scalar-field assembly ON DEVICE from the
+    # resident mesh -- uploads nothing beyond the mesh + slot ids
+    if mode in ("dia", "hybrid", "ell") and not assembled:
         t0 = time.perf_counter()
-        resumed_op = (
-            operator_cache is not None and mode == operator_cache.mode
+        assembled = _assembly_core(spec.mode, spec.params)(
+            args[0], args[1], args[2], jnp.asarray(slot_ids),
+            args[7], args[8], args[9],
         )
-        flat_host = (
-            operator_cache.flat
-            if resumed_op
-            else _assemble_host_flat(
-                mode, params, mesh, cols, slot_ids, metadata
-            )
+        timings["assemble_device_s"] = time.perf_counter() - t0
+
+    # ONE sync point for everything issued above (operator flat, AMG
+    # hierarchy, problem arrays): the uploads share the tunnel FIFO and
+    # overlap the host builds between their issue points
+    t0 = time.perf_counter()
+    jax.block_until_ready((args[:7], amg_args, assembled))
+    timings["prep_sync_s"] = time.perf_counter() - t0
+    # legacy aggregate keys (bench/readers): build + issue + residual sync
+    if mode in ("dia", "hybrid", "ell"):
+        timings["assemble_upload_s"] = (
+            timings.get("assemble_issue_s", 0.0) + timings["prep_sync_s"]
         )
-        flat_is_half = bool(resumed_op and operator_cache.sym_half)
-        timings["assemble_build_s"] = time.perf_counter() - t0
-        if flat_host is not None:
-            t_up = time.perf_counter()
-            assembled = _upload_flat_device(
-                mode, params, n, cols, flat_host, upload_dtype,
-                flat_is_half=flat_is_half,
-            )
-            jax.block_until_ready(assembled)
-            # upload timed apart from the host build: the shared-TPU
-            # tunnel's bandwidth varies run to run, the host pass does not
-            timings["assemble_upload_s"] = time.perf_counter() - t_up
-            if input_mesh_hash is not None and options.keep_operator_host:
-                # keep only the d >= 0 half when symmetry allows: halves
-                # the pinned host memory (and persist.save_operator bytes)
-                neg = _sym_half_offsets(mode, params)
-                flat_keep = np.asarray(flat_host)
-                keep_half = flat_is_half
-                if neg and not flat_is_half:
-                    flat_keep = flat_keep[len(neg) * n :].copy()
-                    keep_half = True
-                operator_host = OperatorCache(
-                    mesh_hash=input_mesh_hash,
-                    material=(
-                        float(metadata.youngs_modulus),
-                        float(metadata.poisson_ratio),
-                        float(metadata.part_thickness),
-                    ),
-                    mode=mode,
-                    offsets=tuple(params.offsets)
-                    if params is not None
-                    else (),
-                    flat=flat_keep,
-                    cols=np.asarray(cols)
-                    if mode in ("hybrid", "ell")
-                    else None,
-                    perm=perm,
-                    sym_half=keep_half,
-                )
-        else:
-            assembled = _assembly_core(spec.mode, spec.params)(
-                args[0], args[1], args[2], jnp.asarray(slot_ids),
-                args[7], args[8], args[9],
-            )
-        jax.block_until_ready(assembled)
-        timings["assemble_s"] = time.perf_counter() - t0
+        timings["assemble_s"] = (
+            timings.get("assemble_build_s", 0.0)
+            + timings.get("assemble_device_s", 0.0)
+            + timings["assemble_upload_s"]
+        )
+    if preconditioner == "amg":
+        timings["amg_upload_s"] = timings.get("amg_issue_s", 0.0)
+        timings["amg_setup_s"] = (
+            timings["amg_build_s"] + timings["amg_upload_s"]
+        )
     args = args + (assembled,)
 
     return CompiledProblem(

@@ -205,6 +205,7 @@ def make_sharded_amg_preconditioner(
     omega0: float = 0.7,
     omega: float = 0.7,
     coarse_sweeps: int = 24,
+    coarse_level_sweeps=None,
 ):
     """Sharded V(1,1)-cycle: local level-0 smoothing, psum restriction into
     a replicated coarse hierarchy (fem/amg.py arrays), local prolongation.
@@ -212,17 +213,23 @@ def make_sharded_amg_preconditioner(
     amg_local: ((p_cols_local, p_vals_local), coarse_transfers, coarse_ops,
     coarsest_inv_tuple) -- the first transfer is node-sharded by fine row,
     the rest replicated.
+
+    Coarse levels below the fine one default to V(1,1) regardless of the
+    fine schedule -- the SAME policy as the single-device
+    fem/amg.make_amg_preconditioner, so a pinned amg_sweeps smooths
+    identically on both paths; `coarse_level_sweeps` pins it explicitly.
     """
     from ..fem.amg import make_coarse_cycle
 
     (p_cols, p_vals), transfers_tail, coarse, ci = amg_local
     n_coarse_levels = len(coarse)
+    cls = 1 if coarse_level_sweeps is None else int(coarse_level_sweeps)
     cycle = make_coarse_cycle(
         transfers_tail,
         coarse,
         ci,
-        pre_sweeps=pre_sweeps,
-        post_sweeps=post_sweeps,
+        pre_sweeps=cls,
+        post_sweeps=cls,
         omega=omega,
         coarse_sweeps=coarse_sweeps,
     )

@@ -577,6 +577,9 @@ def compile_sweep(
     `device_mesh`: a jax.sharding.Mesh to shard the LANE axis over (pure
     data parallelism -- each device solves its slice of the variants with
     the shared replicated hierarchy; no collectives in the solve)."""
+    from ..utils.jaxcache import ensure_default_cache
+
+    ensure_default_cache()
     from ..fem.multigrid import can_coarsen
     from ..fem.solve import _grid
 
@@ -1154,6 +1157,9 @@ def compile_material_sweep(
     per-level per-lane center inverses are [2,2,R,C,B] -- at 4096 lanes on
     a 33x65 grid that is ~140 MB f32, shrinking 4x per level.
     """
+    from ..utils.jaxcache import ensure_default_cache
+
+    ensure_default_cache()
     from ..fem.solve import _grid
 
     if mesh.grid_shape is None or not mesh.canonical_grid:
@@ -1455,6 +1461,9 @@ def compile_unstructured_sweep(
     band matvec costs ~15x a f32 matvec; measured 1e-8 relative at
     V(1,1)x13 vs V(3,3)x8 on a 3.8k-node delaunay mesh).
     """
+    from ..utils.jaxcache import ensure_default_cache
+
+    ensure_default_cache()
     from ..fem.amg import amg_device_arrays, build_amg_setup, setup_matches
 
     n = mesh.num_nodes
@@ -1480,7 +1489,11 @@ def compile_unstructured_sweep(
         refined = bool(jax.config.jax_enable_x64) and dtype == np.float32
     sm_dtype = np.float32 if dtype == np.float32 else dtype
     cg_dtype = np.float64 if refined else dtype
-    amg = amg_device_arrays(amg_setup, sm_dtype)
+    # lanes=True: the lane-batched ("tl") V-cycle needs the gather-form
+    # level-0 transfers + coarse ELL (the pallas transfer-kernel plan and
+    # the DIA coarse bands serve only single-vector layouts), and skips
+    # uploading what it never applies
+    amg = amg_device_arrays(amg_setup, sm_dtype, lanes=True)
     if not amg_setup.transfers:
         # the mesh is too small to coarsen (n*2 <= the dense-coarse
         # threshold): the V-cycle would degenerate to block-Jacobi. Build
@@ -1914,6 +1927,9 @@ def compile_unstructured_material_sweep(
 
     `amg_sweeps`: see compile_unstructured_sweep -- auto V(1,1); for
     refined lanes V(3,3) at ~0.6x the budget is ~20% cheaper on TPU."""
+    from ..utils.jaxcache import ensure_default_cache
+
+    ensure_default_cache()
     from ..fem.amg import (
         _UNIT_DCOEFS,
         build_amg_material_setup,

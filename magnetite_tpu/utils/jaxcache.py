@@ -36,6 +36,34 @@ def _default_path() -> str:
     return f"{_SHARED}_{_user_suffix()}"
 
 
+def ensure_default_cache() -> None:
+    """Engage the persistent compile cache unless the user configured one
+    (or opted out with MAGNETITE_NO_JAX_CACHE=1).
+
+    Called by the library's compile entry points (fem/solve.compile_problem,
+    the parallel/sweep compilers): cold XLA compiles of the large sweep /
+    refined-AMG graphs run minutes over a remote-TPU tunnel, and an
+    opt-in-only cache meant every fresh process paid them again.
+
+    Accelerator backends only: CPU compiles are local and fast, and XLA's
+    CPU AOT cache loads log machine-feature-mismatch noise to stderr on
+    every entry (its tuning flags masquerade as target features), which
+    would dirty CLI output for every CPU user."""
+    if os.environ.get("MAGNETITE_NO_JAX_CACHE", "") not in ("", "0"):
+        return
+    import jax
+
+    if jax.config.jax_compilation_cache_dir:  # user already configured one
+        return
+    if jax.default_backend() == "cpu":
+        return
+    # cache config only -- no backendprobe here: a library compile call
+    # must never flip the process's platform under the caller
+    path = os.environ.get("MAGNETITE_JAX_CACHE") or _default_path()
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def enable_persistent_cache(min_compile_secs: float = 1.0) -> str:
     import jax
 

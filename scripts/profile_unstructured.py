@@ -197,16 +197,44 @@ def main():
 
     transfers, coarse, ci = amg_args[:3]
     fast0 = amg_args[3] if len(amg_args) > 3 else ()
+    plan = amg_args[5] if len(amg_args) > 5 else ()
     n1 = coarse[0][2].shape[0]  # level-1 node count
 
     def make_transfer_pair(aux):
+        if plan:
+            # pallas windowed one-hot P0/P0^T (the shipped TPU path) inside
+            # the same smoothed composition
+            from magnetite_tpu.pallas.transfer_kernel import (
+                make_plan_transfers,
+            )
+
+            plan_, (a_bands, a_free) = aux
+            k_prolong, k_restrict = make_plan_transfers(plan_[0], n1)
+            mv = make_dia_operator(a_bands, offsets)
+
+            def a_op(v):
+                return a_free * mv(a_free * v)
+
+            dinv0w = fast0[4]
+
+            def dinv(v):
+                return jnp.einsum(
+                    "nij,jn->in", dinv0w, v, precision="highest"
+                )
+
+            def pair(xc):
+                uf = k_prolong(xc)
+                xf = uf - dinv(a_op(uf))
+                tmp = xf - a_op(dinv(xf))
+                return k_restrict(tmp)
+
+            return pair
+
         if fast0:
             # factored P/P^T composition (the shipped path): coarse ->
             # fine (P = (I - wDinvA) P0) -> coarse (P^T), chainable
             agg, p0, pt0_cols, pt0_vals, dinv0w = aux[0]
             a_bands, a_free = aux[1]
-            from magnetite_tpu.fem.dia import make_dia_operator
-
             mv = make_dia_operator(a_bands, offsets)
 
             def a_op(v):
@@ -295,7 +323,9 @@ def main():
         (
             "transfer0_pair_ms",
             make_transfer_pair,
-            (fast0, (bands32, free32)) if fast0 else transfers[0],
+            (plan, (bands32, free32))
+            if plan
+            else ((fast0, (bands32, free32)) if fast0 else transfers[0]),
             xc32,
         ),
         ("coarse_cycle_ms", make_coarse_only, amg_args, xc32),

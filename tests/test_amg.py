@@ -252,19 +252,29 @@ def test_banded_coarse_levels_match_ell(plate):
     free = (~bca.u_known).astype(np.float64)
     setup = build_amg_setup(plate.coords, plate.tris, E, NU, T, free)
     amg = amg_device_arrays(setup, jnp.float64)
-    assert len(amg) == 5
+    assert len(amg) == 6
     coarse_bands = amg[4]
     assert len(coarse_bands) == len(setup.coarse_ops)
     # spatially-keyed aggregation keeps coarse graphs banded
     assert any(cb is not None for cb in coarse_bands)
-    # each BandedOp reproduces its ELL level exactly
-    rng = np.random.default_rng(5)
+    # single-vector uploads drop the (never-applied) ELL values of banded
+    # levels; lane uploads keep ELL and drop the bands
     for (a_cols, a_vals, _), cb in zip(amg[1], coarse_bands):
+        if cb is not None:
+            assert a_vals.size == 0
+    amg_lanes = amg_device_arrays(setup, jnp.float64, lanes=True)
+    assert all(cb is None for cb in amg_lanes[4])
+    # each BandedOp reproduces its ELL level exactly (ELL reference from
+    # the host setup arrays)
+    rng = np.random.default_rng(5)
+    for (a_cols, a_vals, _), cb in zip(setup.coarse_ops, coarse_bands):
         if cb is None:
             continue
         assert isinstance(cb, BandedOp)
         x = jnp.asarray(rng.standard_normal((a_cols.shape[0], 3)))
-        y_ell = np.asarray(_block_ell_matvec(a_cols, a_vals, x))
+        y_ell = np.asarray(
+            _block_ell_matvec(jnp.asarray(a_cols), jnp.asarray(a_vals), x)
+        )
         y_dia = np.asarray(make_dia_operator(cb.bands, cb.offsets)(x.T).T)
         np.testing.assert_allclose(
             y_dia, y_ell, atol=1e-11 * max(np.abs(y_ell).max(), 1e-30)
@@ -290,7 +300,7 @@ def test_banded_coarse_levels_match_ell(plate):
 
     m_banded = make_amg_preconditioner(amg, op, jac0, layout="t", a_op=a_op)
     m_ell = make_amg_preconditioner(
-        amg[:4], op, jac0, layout="t", a_op=a_op
+        amg_lanes[:4], op, jac0, layout="t", a_op=a_op
     )
     r = jnp.asarray(rng.standard_normal((2, n)))
     zb = np.asarray(m_banded(r))
@@ -326,6 +336,31 @@ def test_amg_with_mixed_precision_refinement(plate):
     np.testing.assert_allclose(
         res.u, exact.u, atol=1e-8 * np.abs(exact.u).max()
     )
+
+
+def test_tiny_mesh_auto_amg_is_exact_dense_inverse():
+    """Meshes that never coarsen (2N under the dense-coarsest cap) must
+    auto-select "amg" and converge in a handful of CG iterations via the
+    single-level exact inverse -- not run O(1/h) block-Jacobi counts
+    (the 465-node linkedin case measured 170 iterations before this)."""
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    mesh = triangulate([outer, hole], 0.0, 0.07)
+    assert 2 * mesh.num_nodes <= 3072  # the tiny band this test pins
+    bca = apply_boundary_conditions(mesh.coords, _rules())
+    md = ModelMetadata(E, NU, T, 0.0, 0.07)
+    problem = compile_problem(mesh, bca, md, SolverOptions(cg_rtol=1e-10))
+    assert problem.preconditioner == "amg"
+    assert problem.amg_setup.coarsest_inv is not None
+    assert len(problem.amg_setup.level_sizes) == 1
+    res = problem.solve()
+    assert res.iterations <= 5
+    assert res.residual_rel < 1e-10
+    bj = solve_system(
+        mesh, bca, md,
+        SolverOptions(preconditioner="block_jacobi", cg_rtol=1e-10),
+    )
+    np.testing.assert_allclose(res.u, bj.u, atol=1e-9 * np.abs(bj.u).max())
 
 
 def test_auto_picks_amg_above_threshold(plate):
