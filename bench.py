@@ -254,6 +254,15 @@ def _phase_unstructured():
     extras["unstructured_assemble_upload_s"] = round(
         problem.timings.get("assemble_upload_s", 0.0), 2
     )
+    # overlap diagnostics: issue (put dispatch) vs the single end sync,
+    # plus the exact payload so tunnel weather is attributable
+    extras["unstructured_prep_sync_s"] = round(
+        problem.timings.get("prep_sync_s", 0.0), 2
+    )
+    extras["unstructured_bytes_shipped"] = int(
+        problem.timings.get("amg_upload_bytes", 0)
+        + problem.timings.get("assemble_upload_bytes", 0)
+    )
 
     t, out = _time_device_solve(problem, repeats=3)
     resnorm = float(np.asarray(out[6]))
@@ -267,6 +276,40 @@ def _phase_unstructured():
     # "" = emulated-f64 CG matvec, "pallas" = double-float kernel
     extras["unstructured_df_matvec"] = problem.timings.get("df_matvec", "")
     extras["unstructured_residual_rel"] = resnorm / bnorm
+
+    if extras["unstructured_df_matvec"] == "pallas":
+        # hardware guard on the double-float kernel's compensation floor:
+        # Veltkamp/two-sum exactness relies on Mosaic/XLA never fusing the
+        # splits into FMAs or reassociating -- true today, but only
+        # CI-tested in interpreter mode (CPU). Check the kernel against
+        # the emulated-f64 matvec ON THIS CHIP so a compiler regression
+        # surfaces here instead of as a silently stalling CG.
+        import jax
+        import jax.numpy as jnp
+
+        from magnetite_tpu.fem.dia import dia_matvec
+        from magnetite_tpu.pallas.dia_kernel import make_df_dia_operator
+
+        (bands64,) = problem.args[-1]
+        offsets = tuple(problem.operator_host.offsets)
+        df_op = make_df_dia_operator(bands64, offsets)
+        u_probe = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, mesh.num_nodes))
+        )
+
+        @jax.jit
+        def df_err(bands, u):
+            y_df = df_op(u)
+            y_64 = dia_matvec(bands, offsets, u)
+            # term-magnitude scale: the kernel's 2^-46 bound is relative
+            # to sum_d |K_d| |u_d|, not to the (cancellation-shrunk) y
+            scale = dia_matvec(jnp.abs(bands), offsets, jnp.abs(u))
+            return jnp.max(jnp.abs(y_df - y_64)) / jnp.max(scale)
+
+        err = float(df_err(bands64, u_probe))
+        extras["unstructured_df_vs_f64_rel"] = err
+        # ~1.3e-14 measured; 100x headroom before the guard trips
+        extras["unstructured_df_guard_ok"] = bool(err < 1e-12)
 
     # the amortized path: checkpoint mesh + AMG hierarchy + assembled
     # operator (persist.py), then re-compile from the checkpoints -- what a
@@ -337,11 +380,18 @@ def _phase_unstructured_resumed(case: str):
         + problem_r.timings.get("assemble_build_s", 0.0),
         2,
     )
+    # upload wall = put-issue time + the single end sync (the puts stream
+    # concurrently -- compile_problem overlaps them with its host work)
     extras["unstructured_resumed_upload_s"] = round(
         problem_r.timings.get("upload_s", 0.0)
-        + problem_r.timings.get("amg_upload_s", 0.0)
-        + problem_r.timings.get("assemble_upload_s", 0.0),
+        + problem_r.timings.get("amg_issue_s", 0.0)
+        + problem_r.timings.get("assemble_issue_s", 0.0)
+        + problem_r.timings.get("prep_sync_s", 0.0),
         2,
+    )
+    extras["unstructured_resumed_bytes_shipped"] = int(
+        problem_r.timings.get("amg_upload_bytes", 0)
+        + problem_r.timings.get("assemble_upload_bytes", 0)
     )
     # warm-link datapoint BEFORE any solve (device->host syncs clamp the
     # tunnel's transfer ramp for the rest of the process): the same resume
@@ -365,6 +415,99 @@ def _phase_unstructured_resumed(case: str):
 
     t_r, out_r = _time_device_solve(problem_r, repeats=1)
     extras["unstructured_resumed_solve_s"] = round(t_r, 3)
+    print(json.dumps(extras))
+
+
+def bench_unstructured_2m(extras):
+    """~2M-element DELAUNAY scale point (fresh subprocess, like the 1M
+    phase): proves AMG + double-float + symmetric-half upload hold at 2x
+    the arbitrary-geometry flagship with iteration counts still
+    mesh-independent."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "-u", __file__, "--phase", "unstructured2m"],
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    sys.stderr.write(r.stderr)
+    if r.returncode != 0:
+        raise RuntimeError(
+            f"unstructured2m phase subprocess failed (rc {r.returncode}): "
+            f"{r.stderr[-400:]}"
+        )
+    extras.update(json.loads(r.stdout.strip().splitlines()[-1]))
+
+
+def _phase_unstructured_2m():
+    """Subprocess body for bench_unstructured_2m; prints ONE JSON line."""
+    _bench_jax_config()
+
+    extras = {}
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from magnetite_tpu.config import (
+        BoundaryRegion,
+        BoundaryRule,
+        BoundaryTarget,
+        ModelMetadata,
+        SolverOptions,
+    )
+    from magnetite_tpu.fem.solve import compile_problem
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    h = 0.00182  # ~2M elements over the 2.88-unit^2 domain
+    t0 = time.perf_counter()
+    mesh = triangulate([outer, hole], 0.0, h)
+    extras["unstructured2m_mesh_gen_s"] = round(time.perf_counter() - t0, 2)
+    rules = (
+        BoundaryRule(
+            "left", BoundaryRegion(x_max=1e-6), BoundaryTarget(ux=0.0, uy=0.0)
+        ),
+        BoundaryRule(
+            "right",
+            BoundaryRegion(x_min=3.0 - 1e-6),
+            BoundaryTarget(ux=0.01, fy=0.0),
+        ),
+    )
+    bca = apply_boundary_conditions(mesh.coords, rules)
+    metadata = ModelMetadata(69e9, 0.33, 0.5, 0.0, h)
+
+    t0 = time.perf_counter()
+    problem = compile_problem(
+        mesh,
+        bca,
+        metadata,
+        SolverOptions(dtype="float32", cg_rtol=1e-8, refine="on"),
+    )
+    extras["unstructured2m_prep_s"] = round(time.perf_counter() - t0, 2)
+    extras["unstructured2m_amg_build_s"] = round(
+        problem.timings.get("amg_build_s", 0.0), 2
+    )
+    extras["unstructured2m_assemble_build_s"] = round(
+        problem.timings.get("assemble_build_s", 0.0), 2
+    )
+    extras["unstructured2m_prep_sync_s"] = round(
+        problem.timings.get("prep_sync_s", 0.0), 2
+    )
+    extras["unstructured2m_bytes_shipped"] = int(
+        problem.timings.get("amg_upload_bytes", 0)
+        + problem.timings.get("assemble_upload_bytes", 0)
+    )
+
+    t, out = _time_device_solve(problem, repeats=2)
+    resnorm = float(np.asarray(out[6]))
+    bnorm = float(np.asarray(out[8]))
+    extras["unstructured2m_elements"] = mesh.num_elements
+    extras["unstructured2m_nodes"] = mesh.num_nodes
+    extras["unstructured2m_solve_s"] = round(t, 3)
+    extras["unstructured2m_cg_iters"] = int(np.asarray(out[5]))
+    extras["unstructured2m_operator"] = problem.mode
+    extras["unstructured2m_df_matvec"] = problem.timings.get("df_matvec", "")
+    extras["unstructured2m_residual_rel"] = resnorm / bnorm
     print(json.dumps(extras))
 
 
@@ -798,6 +941,7 @@ def main():
         # last: a TPU-runtime fault here must not take the other blocks
         # down with it
         attempt("unstructured", bench_unstructured_1m, extras)
+        attempt("unstructured2m", bench_unstructured_2m, extras)
 
     baseline = 0.286  # reference readme.md:28
     print(
@@ -826,6 +970,8 @@ if __name__ == "__main__":
         _ph = _argval("--phase")
         if _ph == "unstructured":
             _phase_unstructured()
+        elif _ph == "unstructured2m":
+            _phase_unstructured_2m()
         elif _ph == "unstructured-resumed":
             if "--case" not in sys.argv:
                 raise SystemExit(
