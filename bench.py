@@ -758,15 +758,15 @@ def bench_unstructured_sweep(extras):
     base = apply_boundary_conditions(mesh.coords, rules)
     md = ModelMetadata(69e9, 0.33, 0.5, 0.0, h)
     b = 4096
-    right = mesh.coords[:, 0] > 3.0 - 1e-6
 
     def batch(seed):
+        """Per-lane pull magnitudes as LOAD FACTORS of the base BCs
+        (pull = factor * 0.01 over [0.005, 0.02] -- the same variant set
+        the dense batches carried as [B, N, 2] fields)."""
         rng = np.random.default_rng(seed)
-        pulls = rng.uniform(0.005, 0.02, b).astype(np.float32)
-        u_values = np.tile(base.u_value[None], (b, 1, 1)).astype(np.float32)
-        u_values[:, right, 0] = pulls[:, None]
-        f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
-        return u_values, f_values, rng.uniform(0.5, 2.0, b)
+        u_factors = rng.uniform(0.5, 2.0, b).astype(np.float32)
+        f_factors = np.ones(b, dtype=np.float32)
+        return u_factors, f_factors, rng.uniform(0.5, 2.0, b)
 
     iters = 25
     t0 = time.perf_counter()
@@ -777,7 +777,7 @@ def bench_unstructured_sweep(extras):
     compiled = compile_unstructured_sweep(
         mesh, base, md, iterations=iters, refined=False
     )
-    result = compiled.solve(*batch(0))
+    result = compiled.solve_factors(*batch(0))
     float(np.asarray(result.residual_norm[0]))
     t_total = time.perf_counter() - t0  # setup + first batch (incl. compile)
 
@@ -785,7 +785,7 @@ def bench_unstructured_sweep(extras):
     for seed in (1, 2, 3, 4):
         args = batch(seed)
         t0 = time.perf_counter()
-        result = compiled.solve(*args)
+        result = compiled.solve_factors(*args)
         rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
         times.append(time.perf_counter() - t0)
     t = float(np.min(times))
@@ -797,6 +797,25 @@ def bench_unstructured_sweep(extras):
     extras["unstructured_sweep_solves_per_s"] = round(b / t)
     extras["unstructured_sweep_first_s"] = round(t_total, 2)
     extras["unstructured_sweep_rel_residual_max"] = float(rel.max())
+
+    # dense-field I/O datapoint: the same batch shipped as [B, N, 2]
+    # host arrays through solve() -- isolates what the parametric API
+    # saves in tunnel upload (the solve itself is identical)
+    rng = np.random.default_rng(5)
+    u_factors = rng.uniform(0.5, 2.0, b).astype(np.float32)
+    u_values = (
+        base.u_value.astype(np.float32)[None] * u_factors[:, None, None]
+    )
+    f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
+    dense_args = (u_values, f_values, rng.uniform(0.5, 2.0, b))
+    result = compiled.solve(*dense_args)  # compile the dense entry
+    float(np.asarray(result.residual_norm[0]))
+    t0 = time.perf_counter()
+    result = compiled.solve(*dense_args)
+    float(np.asarray(result.residual_norm[0]))
+    extras["unstructured_sweep_dense_io_warm_s"] = round(
+        time.perf_counter() - t0, 3
+    )
 
 
 def bench_unstructured_material_sweep(extras):
@@ -833,12 +852,14 @@ def bench_unstructured_material_sweep(extras):
     iters = 30
 
     def batch(seed):
+        """Unit load factors (every lane pulls the base 0.01) with
+        per-lane (E, nu, t) -- the same variants the dense batches
+        carried as [B, N, 2] fields, now as [B] vectors."""
         rng = np.random.default_rng(seed)
-        u_values = np.tile(base.u_value[None], (b, 1, 1)).astype(np.float32)
-        f_values = np.zeros((b, mesh.num_nodes, 2), dtype=np.float32)
+        ones = np.ones(b, dtype=np.float32)
         return (
-            u_values,
-            f_values,
+            ones,
+            ones,
             rng.uniform(40e9, 250e9, b).astype(np.float32),
             rng.uniform(0.22, 0.38, b).astype(np.float32),
             rng.uniform(0.2, 1.0, b).astype(np.float32),
@@ -849,7 +870,7 @@ def bench_unstructured_material_sweep(extras):
     compiled = compile_unstructured_material_sweep(
         mesh, base, iterations=iters, refined=False
     )
-    result = compiled.solve(*batch(0))
+    result = compiled.solve_factors(*batch(0))
     float(np.asarray(result.residual_norm[0]))
     t_total = time.perf_counter() - t0
 
@@ -857,7 +878,7 @@ def bench_unstructured_material_sweep(extras):
     for seed in (1, 2, 3):
         args = batch(seed)
         t0 = time.perf_counter()
-        result = compiled.solve(*args)
+        result = compiled.solve_factors(*args)
         rel = np.asarray(result.residual_norm) / np.asarray(result.rhs_norm)
         times.append(time.perf_counter() - t0)
     t = float(np.min(times))

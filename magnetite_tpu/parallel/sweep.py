@@ -113,6 +113,46 @@ def _shard_lanes(device_mesh, arr, dtype):
     return jax.device_put(arr, NamedSharding(device_mesh, spec))
 
 
+def _factor_fields(u_base, f_base, u_factors, f_factors):
+    """[N, 2] base BC values x per-lane [B] load factors -> [B, N, 2]
+    lane fields, built ON DEVICE inside the caller's jit.
+
+    Load-factor sweeps (the dominant design-sweep shape: same BC regions,
+    per-variant magnitudes) upload two [B] scalar vectors instead of two
+    dense [B, N, 2] batches -- ~100 MB per 4096-lane batch on the 3.8k-node
+    bench mesh, 1-5 s of tunnel wall per solve (measured,
+    scripts/profile_sweep.py host_io_s)."""
+    u = u_base[None] * u_factors[:, None, None]
+    f = f_base[None] * f_factors[:, None, None]
+    return u, f
+
+
+@jax.jit
+def _perm_nodes(x, perm):
+    """Device-side node permutation of a [B, N, 2] lane batch.
+
+    The renumbering gather runs on device (~0.5 ms at 4096 lanes) instead
+    of as host numpy fancy-indexing of the ~100 MB batch (~1 s, measured),
+    and the un-permuted solution stays a device array -- callers that only
+    read residuals/stresses never pay a device->host fetch of u."""
+    return x[:, perm, :]
+
+
+def _perm_arrays(perm, device_mesh):
+    """(perm_dev, iperm_dev) device index arrays for _perm_nodes, or
+    (None, None). iperm inverts perm: iperm[perm[i]] = i, so
+    u_orig = u_renumbered[:, iperm, :]."""
+    if perm is None:
+        return None, None
+    perm = np.asarray(perm)
+    iperm = np.empty_like(perm)
+    iperm[perm] = np.arange(perm.shape[0], dtype=perm.dtype)
+    pd, id_ = jnp.asarray(perm), jnp.asarray(iperm)
+    if device_mesh is not None:
+        pd, id_ = _replicate_tree(device_mesh, (pd, id_))
+    return pd, id_
+
+
 def _chunked_lane_vm(u, tris, b_mat, sigma_fn, chunk: int = 512):
     """Per-lane von Mises WITHOUT materializing the full [E, 6, B] gather.
 
@@ -1248,9 +1288,29 @@ def _banded_mesh_or_raise(mesh, base_bca, max_diags: int, fallback_hint: str):
 # block-Jacobi lanes' O(1/h) lockstep to the mesh-independent ~15-30.
 
 
+def _lane_kernel_factory(mode: str, offsets, n_nodes: int, n_lanes: int):
+    """dtype -> lane-DIA Pallas matvec (or None) per the static `mode`:
+    "auto" engages the kernel on its native backend, "interpret" forces
+    interpreter mode (CPU parity tests), "off" keeps the roll path
+    (sharded lanes: a pallas_call has no SPMD partitioning rule, so the
+    kernel must not appear under a lane-sharded jit)."""
+    if mode == "off":
+        return lambda dtype: None
+    from ..pallas.lane_dia_kernel import make_lane_dia_matvec
+
+    interpret = True if mode == "interpret" else None
+
+    def make(dtype):
+        return make_lane_dia_matvec(
+            offsets, n_nodes, n_lanes, dtype, interpret=interpret
+        )
+
+    return make
+
+
 def _dia_amg_lanes_core(
     bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_fixed, f_applied,
-    k_scales, tris, iterations, amg_sweeps=0,
+    k_scales, tris, iterations, amg_sweeps=0, lane_kernel="off",
 ):
     """bands: CG-precision DIA bands (f64 under mixed precision -- the
     kappa*eps_f32 true-residual wall caps pure-f32 force-driven lanes at
@@ -1265,7 +1325,7 @@ def _dia_amg_lanes_core(
     free_sm = free.astype(bands_sm.dtype)[:, :, None]
     k_scales = k_scales.astype(cgt)
 
-    def band_matvec(bk, u):  # UNSCALED K u on [2, N, B] lane fields
+    def band_matvec_roll(bk, u):  # UNSCALED K u on [2, N, B] lane fields
         y0 = jnp.zeros_like(u[0])
         y1 = jnp.zeros_like(u[1])
         for d_idx, off in enumerate(offsets):
@@ -1274,6 +1334,21 @@ def _dia_amg_lanes_core(
             y0 = y0 + b[0, 0] * shifted[0] + b[0, 1] * shifted[1]
             y1 = y1 + b[1, 0] * shifted[0] + b[1, 1] * shifted[1]
         return jnp.stack([y0, y1])
+
+    # Pallas lane-DIA kernel where it applies (f32 bands, >=128 lanes,
+    # banded reach within the window): the roll formulation measures
+    # 4.7 GB/s at 4096 lanes (53 ms/matvec -- ~5 of these per PCG
+    # iteration WAS the sweep's runtime); the kernel streams the lane
+    # field once (pallas/lane_dia_kernel.py)
+    mk = _lane_kernel_factory(
+        lane_kernel, offsets, bands.shape[-1], u_fixed.shape[-1]
+    )
+    kmv_sm = mk(bands_sm.dtype)
+    kmv_cg = mk(cgt)
+
+    def band_matvec(bk, u):  # dispatch by the band array's dtype
+        k = kmv_cg if bk.dtype == cgt else kmv_sm
+        return k(bk, u) if k is not None else band_matvec_roll(bk, u)
 
     def op_sm(v):  # f32 reduced base operator (the hierarchy's level 0)
         return free_sm * band_matvec(bands_sm, free_sm * v) + (
@@ -1352,13 +1427,34 @@ def _dia_amg_lanes_core(
     )
 
 
-@partial(jax.jit, static_argnames=("offsets", "iterations", "amg_sweeps"))
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "iterations", "amg_sweeps", "lane_kernel"),
+)
 def _dia_amg_lanes_jit(bands, bands_sm, offsets, amg, d_mat, b_mat, free,
                        u_fixed, f_applied, k_scales, tris, iterations,
-                       amg_sweeps):
+                       amg_sweeps, lane_kernel="off"):
     return _dia_amg_lanes_core(
         bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_fixed,
         f_applied, k_scales, tris, iterations, amg_sweeps,
+        lane_kernel=lane_kernel,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "iterations", "amg_sweeps", "lane_kernel"),
+)
+def _dia_amg_lanes_factors_jit(
+    bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_base, f_base,
+    u_factors, f_factors, k_scales, tris, iterations, amg_sweeps,
+    lane_kernel="off",
+):
+    u_fixed, f_applied = _factor_fields(u_base, f_base, u_factors, f_factors)
+    return _dia_amg_lanes_core(
+        bands, bands_sm, offsets, amg, d_mat, b_mat, free, u_fixed,
+        f_applied, k_scales, tris, iterations, amg_sweeps,
+        lane_kernel=lane_kernel,
     )
 
 
@@ -1388,18 +1484,60 @@ class CompiledUnstructuredSweep:
     device_mesh: object = None
     # V-cycle schedule override (0 = auto; fem.amg.amg_sweep_schedule)
     amg_sweeps: int = 0
+    # device index arrays for the renumbering gather (see _perm_nodes)
+    perm_dev: object = None
+    iperm_dev: object = None
+    # lane-DIA Pallas kernel mode ("auto"/"interpret"/"off"); sharded
+    # lanes force "off" (see _lane_kernel_factory)
+    lane_kernel: str = "auto"
+    # compile-time base BC values in the RENUMBERED node order (device
+    # arrays; feed solve_factors)
+    u_base: object = None
+    f_base: object = None
 
     def _batch(self, arr):
         if self.device_mesh is not None:
             return _shard_lanes(self.device_mesh, arr, self.dtype)
         return jnp.asarray(arr, dtype=self.dtype)
 
+    def solve_factors(self, u_factors, f_factors, k_scales) -> SweepResult:
+        """Load-factor sweep: lane b solves the compile-time BCs scaled by
+        (u_factors[b], f_factors[b]) -- u_fixed = u_factors[b] * u_base,
+        f_applied = f_factors[b] * f_base, built on device. Uploads three
+        [B] vectors per batch instead of two dense [B, N, 2] fields (the
+        dense upload is 1-5 s of tunnel wall per 4096-lane batch,
+        measured); results are identical to the equivalent dense solve().
+        """
+        u, res, vm, rhs_norm = _dia_amg_lanes_factors_jit(
+            self.bands,
+            self.bands_sm,
+            self.offsets,
+            self.amg,
+            self.d_mat,
+            self.b_mat,
+            self.free,
+            self.u_base,
+            self.f_base,
+            self._batch(u_factors),
+            self._batch(f_factors),
+            self._batch(k_scales),
+            self.tris,
+            self.iterations,
+            self.amg_sweeps,
+            "off" if self.device_mesh is not None else self.lane_kernel,
+        )
+        if self.iperm_dev is not None:
+            u = _perm_nodes(u, self.iperm_dev)
+        return SweepResult(
+            u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
+        )
+
     def solve(self, u_values, f_values, k_scales) -> SweepResult:
-        u_values = np.asarray(u_values)
-        f_values = np.asarray(f_values)
-        if self.perm is not None:
-            u_values = u_values[:, self.perm, :]
-            f_values = f_values[:, self.perm, :]
+        up = self._batch(u_values)
+        fp = self._batch(f_values)
+        if self.perm_dev is not None:
+            up = _perm_nodes(up, self.perm_dev)
+            fp = _perm_nodes(fp, self.perm_dev)
         u, res, vm, rhs_norm = _dia_amg_lanes_jit(
             self.bands,
             self.bands_sm,
@@ -1408,17 +1546,16 @@ class CompiledUnstructuredSweep:
             self.d_mat,
             self.b_mat,
             self.free,
-            self._batch(u_values),
-            self._batch(f_values),
+            up,
+            fp,
             self._batch(k_scales),
             self.tris,
             self.iterations,
             self.amg_sweeps,
+            "off" if self.device_mesh is not None else self.lane_kernel,
         )
-        if self.perm is not None:
-            u_out = np.empty_like(np.asarray(u))
-            u_out[:, self.perm, :] = np.asarray(u)
-            u = u_out
+        if self.iperm_dev is not None:
+            u = _perm_nodes(u, self.iperm_dev)
         return SweepResult(
             u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
         )
@@ -1436,6 +1573,7 @@ def compile_unstructured_sweep(
     refined=None,
     device_mesh=None,
     amg_sweeps: int = 0,
+    lane_kernel: str = "auto",
 ) -> CompiledUnstructuredSweep:
     """Compile an arbitrary (delaunay/gmsh) mesh for AMG-lane sweeps.
 
@@ -1542,10 +1680,16 @@ def compile_unstructured_sweep(
     )
     free = jnp.asarray((~bca.u_known).T.astype(sm_dtype))
 
+    u_base = jnp.asarray(bca.u_value, dtype=dtype)
+    f_base = jnp.asarray(bca.f_value, dtype=dtype)
     if device_mesh is not None:
-        bands, bands_sm, amg, d_mat, b_mat, free, tris = _replicate_tree(
-            device_mesh, (bands, bands_sm, amg, d_mat, b_mat, free, tris)
+        (bands, bands_sm, amg, d_mat, b_mat, free, tris, u_base,
+         f_base) = _replicate_tree(
+            device_mesh,
+            (bands, bands_sm, amg, d_mat, b_mat, free, tris, u_base,
+             f_base),
         )
+    perm_dev, iperm_dev = _perm_arrays(perm, device_mesh)
     return CompiledUnstructuredSweep(
         bands=jax.block_until_ready(bands),
         bands_sm=bands_sm,
@@ -1562,6 +1706,11 @@ def compile_unstructured_sweep(
         n_nodes=n,
         device_mesh=device_mesh,
         amg_sweeps=int(amg_sweeps),
+        perm_dev=perm_dev,
+        iperm_dev=iperm_dev,
+        lane_kernel=lane_kernel,
+        u_base=u_base,
+        f_base=f_base,
     )
 
 
@@ -1737,9 +1886,26 @@ def _material_amg_vcycle(
     return apply
 
 
+def _material_lane_kernel_factory(mode, offsets, n_nodes, n_lanes):
+    """Weighted lane-DIA Pallas kernel per dtype, or None (roll path);
+    mode semantics as in _lane_kernel_factory."""
+    if mode == "off":
+        return lambda dtype: None
+    from ..pallas.lane_dia_kernel import make_lane_dia_matvec3
+
+    interpret = True if mode == "interpret" else None
+
+    def make(dtype):
+        return make_lane_dia_matvec3(
+            offsets, n_nodes, n_lanes, dtype, interpret=interpret
+        )
+
+    return make
+
+
 def _material_dia_amg_lanes_core(
     bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
-    e_mods, nus, ts, tris, iterations, amg_sweeps=0,
+    e_mods, nus, ts, tris, iterations, amg_sweeps=0, lane_kernel="off",
 ):
     cgt = bands3[0].dtype
     smt = bands3_sm[0].dtype
@@ -1752,14 +1918,26 @@ def _material_dia_amg_lanes_core(
     )
     wa32, wb32, wc32 = (w.astype(smt) for w in (wa, wb, wc))
 
+    # Pallas weighted lane-DIA kernel (see _dia_amg_lanes_core: the roll
+    # formulation's per-offset materialized shifts are the sweep runtime)
+    mk3 = _material_lane_kernel_factory(
+        lane_kernel, offsets, bands3[0].shape[-1], u_fixed.shape[-1]
+    )
+    kmv3_cg = mk3(cgt)
+    kmv3_sm = mk3(smt)
+
+    def weighted_mv(b3, w3, u):
+        k = kmv3_cg if b3[0].dtype == cgt else kmv3_sm
+        if k is not None:
+            return k(b3, w3, u)
+        return _lane_weighted_band_matvec(b3, offsets, *w3, u)
+
     def op(v):
-        y = _lane_weighted_band_matvec(bands3, offsets, wa, wb, wc, free_b * v)
+        y = weighted_mv(bands3, (wa, wb, wc), free_b * v)
         return free_b * y + (1.0 - free_b) * v
 
     def op_sm(v):
-        y = _lane_weighted_band_matvec(
-            bands3_sm, offsets, wa32, wb32, wc32, free_sm * v
-        )
+        y = weighted_mv(bands3_sm, (wa32, wb32, wc32), free_sm * v)
         return free_sm * y + (1.0 - free_sm) * v
 
     # level-0 per-lane reduced diag inverse (f32): basis diagonals combined
@@ -1796,10 +1974,7 @@ def _material_dia_amg_lanes_core(
 
     rhs = (
         free_b
-        * (
-            f_applied
-            - _lane_weighted_band_matvec(bands3, offsets, wa, wb, wc, u_fixed)
-        )
+        * (f_applied - weighted_mv(bands3, (wa, wb, wc), u_fixed))
         + (1.0 - free_b) * u_fixed
     )
     result = pcg_fixed_iterations(
@@ -1832,14 +2007,35 @@ def _material_dia_amg_lanes_core(
     )
 
 
-@partial(jax.jit, static_argnames=("offsets", "iterations", "amg_sweeps"))
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "iterations", "amg_sweeps", "lane_kernel"),
+)
 def _material_dia_amg_lanes_jit(
     bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
-    e_mods, nus, ts, tris, iterations, amg_sweeps,
+    e_mods, nus, ts, tris, iterations, amg_sweeps, lane_kernel="off",
 ):
     return _material_dia_amg_lanes_core(
         bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
         e_mods, nus, ts, tris, iterations, amg_sweeps,
+        lane_kernel=lane_kernel,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("offsets", "iterations", "amg_sweeps", "lane_kernel"),
+)
+def _material_dia_amg_lanes_factors_jit(
+    bands3, bands3_sm, offsets, mamg, b_mat, free, u_base, f_base,
+    u_factors, f_factors, e_mods, nus, ts, tris, iterations, amg_sweeps,
+    lane_kernel="off",
+):
+    u_fixed, f_applied = _factor_fields(u_base, f_base, u_factors, f_factors)
+    return _material_dia_amg_lanes_core(
+        bands3, bands3_sm, offsets, mamg, b_mat, free, u_fixed, f_applied,
+        e_mods, nus, ts, tris, iterations, amg_sweeps,
+        lane_kernel=lane_kernel,
     )
 
 
@@ -1863,20 +2059,61 @@ class CompiledUnstructuredMaterialSweep:
     device_mesh: object = None
     # V-cycle schedule override (0 = auto; fem.amg.amg_sweep_schedule)
     amg_sweeps: int = 0
+    # device index arrays for the renumbering gather (see _perm_nodes)
+    perm_dev: object = None
+    iperm_dev: object = None
+    # lane-DIA Pallas kernel mode ("auto"/"interpret"/"off"); sharded
+    # lanes force "off" (see _lane_kernel_factory)
+    lane_kernel: str = "auto"
+    # compile-time base BC values in the RENUMBERED node order (device
+    # arrays; feed solve_factors)
+    u_base: object = None
+    f_base: object = None
 
     def _batch(self, arr):
         if self.device_mesh is not None:
             return _shard_lanes(self.device_mesh, arr, self.dtype)
         return jnp.asarray(arr, dtype=self.dtype)
 
+    def solve_factors(
+        self, u_factors, f_factors, e_moduli, poisson_ratios, thicknesses
+    ) -> SweepResult:
+        """Load-factor material sweep: per-lane (E, nu, t) plus per-lane
+        scalings of the compile-time BC values, built on device (see
+        CompiledUnstructuredSweep.solve_factors)."""
+        u, res, vm, rhs_norm = _material_dia_amg_lanes_factors_jit(
+            self.bands3,
+            self.bands3_sm,
+            self.offsets,
+            self.mamg,
+            self.b_mat,
+            self.free,
+            self.u_base,
+            self.f_base,
+            self._batch(u_factors),
+            self._batch(f_factors),
+            self._batch(e_moduli),
+            self._batch(poisson_ratios),
+            self._batch(thicknesses),
+            self.tris,
+            self.iterations,
+            self.amg_sweeps,
+            "off" if self.device_mesh is not None else self.lane_kernel,
+        )
+        if self.iperm_dev is not None:
+            u = _perm_nodes(u, self.iperm_dev)
+        return SweepResult(
+            u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
+        )
+
     def solve(
         self, u_values, f_values, e_moduli, poisson_ratios, thicknesses
     ) -> SweepResult:
-        u_values = np.asarray(u_values)
-        f_values = np.asarray(f_values)
-        if self.perm is not None:
-            u_values = u_values[:, self.perm, :]
-            f_values = f_values[:, self.perm, :]
+        up = self._batch(u_values)
+        fp = self._batch(f_values)
+        if self.perm_dev is not None:
+            up = _perm_nodes(up, self.perm_dev)
+            fp = _perm_nodes(fp, self.perm_dev)
         u, res, vm, rhs_norm = _material_dia_amg_lanes_jit(
             self.bands3,
             self.bands3_sm,
@@ -1884,19 +2121,18 @@ class CompiledUnstructuredMaterialSweep:
             self.mamg,
             self.b_mat,
             self.free,
-            self._batch(u_values),
-            self._batch(f_values),
+            up,
+            fp,
             self._batch(e_moduli),
             self._batch(poisson_ratios),
             self._batch(thicknesses),
             self.tris,
             self.iterations,
             self.amg_sweeps,
+            "off" if self.device_mesh is not None else self.lane_kernel,
         )
-        if self.perm is not None:
-            u_out = np.empty_like(np.asarray(u))
-            u_out[:, self.perm, :] = np.asarray(u)
-            u = u_out
+        if self.iperm_dev is not None:
+            u = _perm_nodes(u, self.iperm_dev)
         return SweepResult(
             u=u, residual_norm=res, von_mises=vm, rhs_norm=rhs_norm
         )
@@ -1913,6 +2149,7 @@ def compile_unstructured_material_sweep(
     refined=None,
     device_mesh=None,
     amg_sweeps: int = 0,
+    lane_kernel: str = "auto",
 ) -> CompiledUnstructuredMaterialSweep:
     """Compile an arbitrary mesh for TRUE material sweeps.
 
@@ -1979,10 +2216,15 @@ def compile_unstructured_material_sweep(
     b_mat = strain_displacement_matrices(ecoords, areas)
     free = jnp.asarray((~bca.u_known).T.astype(sm_dtype))
 
+    u_base = jnp.asarray(bca.u_value, dtype=dtype)
+    f_base = jnp.asarray(bca.f_value, dtype=dtype)
     if device_mesh is not None:
-        bands3, bands3_sm, mamg, b_mat, free, tris = _replicate_tree(
-            device_mesh, (bands3, bands3_sm, mamg, b_mat, free, tris)
+        (bands3, bands3_sm, mamg, b_mat, free, tris, u_base,
+         f_base) = _replicate_tree(
+            device_mesh,
+            (bands3, bands3_sm, mamg, b_mat, free, tris, u_base, f_base),
         )
+    perm_dev, iperm_dev = _perm_arrays(perm, device_mesh)
     return CompiledUnstructuredMaterialSweep(
         bands3=jax.block_until_ready(bands3),
         bands3_sm=bands3_sm,
@@ -1998,4 +2240,9 @@ def compile_unstructured_material_sweep(
         n_nodes=n,
         device_mesh=device_mesh,
         amg_sweeps=int(amg_sweeps),
+        perm_dev=perm_dev,
+        iperm_dev=iperm_dev,
+        lane_kernel=lane_kernel,
+        u_base=u_base,
+        f_base=f_base,
     )
