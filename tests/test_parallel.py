@@ -761,3 +761,89 @@ def test_unstructured_sweep_amg_sweeps_override(metadata):
     rel11 = np.asarray(r11.residual_norm) / np.asarray(r11.rhs_norm)
     rel33 = np.asarray(r33.residual_norm) / np.asarray(r33.rhs_norm)
     assert (rel33 < rel11).all(), (rel33, rel11)
+
+
+def _small_unstructured_case():
+    """Shared fixture-builder: a tiny delaunay plate-with-hole + BCs."""
+    from magnetite_tpu.config import BoundaryRegion, ModelMetadata
+    from magnetite_tpu.meshing.delaunay_backend import triangulate
+    from magnetite_tpu.bc import apply_boundary_conditions
+    from tests.conftest import make_rule
+
+    outer = np.array([[0.0, 0.0], [3.0, 0.0], [3.0, 1.0], [0.0, 1.0]])
+    hole = np.array([[1.3, 0.35], [1.7, 0.35], [1.7, 0.65], [1.3, 0.65]])
+    mesh = triangulate([outer, hole], 0.0, 0.06)
+    rules = (
+        make_rule("left", BoundaryRegion(x_max=1e-6), ux=0.0, uy=0.0),
+        make_rule("right", BoundaryRegion(x_min=3.0 - 1e-6), ux=0.01, fy=0.0),
+    )
+    bca = apply_boundary_conditions(mesh.coords, rules)
+    md = ModelMetadata(69e9, 0.33, 0.5, 0.0, 0.06)
+    return mesh, bca, md
+
+
+def test_unstructured_sweep_solve_factors_matches_dense(metadata):
+    """solve_factors builds u = u_factors[b]*u_base, f = f_factors[b]*f_base
+    on device from three [B] vectors; results must be identical (same jitted
+    PCG, same lanes) to the dense solve() fed the equivalent [B, N, 2]
+    fields. Guards the factor-form I/O shortcut bench.py relies on."""
+    from magnetite_tpu.parallel.sweep import compile_unstructured_sweep
+
+    mesh, bca, md = _small_unstructured_case()
+    compiled = compile_unstructured_sweep(
+        mesh, bca, md, iterations=20, dtype=np.float32
+    )
+
+    u_factors = np.array([1.0, 0.5, 2.0, 0.0])
+    f_factors = np.array([1.0, 1.0, 0.25, 3.0])
+    k_scales = np.array([1.0, 0.7, 1.0, 2.0])
+    b = len(k_scales)
+
+    u_values = u_factors[:, None, None] * np.tile(bca.u_value[None], (b, 1, 1))
+    f_values = f_factors[:, None, None] * np.tile(bca.f_value[None], (b, 1, 1))
+
+    dense = compiled.solve(u_values, f_values, k_scales)
+    fact = compiled.solve_factors(u_factors, f_factors, k_scales)
+
+    np.testing.assert_allclose(
+        np.asarray(fact.u), np.asarray(dense.u), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(fact.von_mises), np.asarray(dense.von_mises), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(fact.residual_norm),
+        np.asarray(dense.residual_norm),
+        rtol=1e-6,
+    )
+
+
+def test_unstructured_material_sweep_solve_factors_matches_dense(metadata):
+    """Material-lane analog: per-lane (E, nu, t) plus factor-scaled BCs must
+    reproduce the dense-field solve exactly."""
+    from magnetite_tpu.parallel.sweep import compile_unstructured_material_sweep
+
+    mesh, bca, _ = _small_unstructured_case()
+    compiled = compile_unstructured_material_sweep(
+        mesh, bca, iterations=20, dtype=np.float32
+    )
+
+    u_factors = np.array([1.0, 0.5, 2.0])
+    f_factors = np.array([1.0, 1.0, 0.25])
+    e_moduli = np.array([69e9, 100e9, 50e9])
+    nus = np.array([0.33, 0.3, 0.25])
+    ts = np.array([0.5, 0.4, 0.6])
+    b = len(e_moduli)
+
+    u_values = u_factors[:, None, None] * np.tile(bca.u_value[None], (b, 1, 1))
+    f_values = f_factors[:, None, None] * np.tile(bca.f_value[None], (b, 1, 1))
+
+    dense = compiled.solve(u_values, f_values, e_moduli, nus, ts)
+    fact = compiled.solve_factors(u_factors, f_factors, e_moduli, nus, ts)
+
+    np.testing.assert_allclose(
+        np.asarray(fact.u), np.asarray(dense.u), rtol=0, atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(fact.von_mises), np.asarray(dense.von_mises), rtol=0, atol=0
+    )
