@@ -847,3 +847,35 @@ def test_unstructured_material_sweep_solve_factors_matches_dense(metadata):
     np.testing.assert_allclose(
         np.asarray(fact.von_mises), np.asarray(dense.von_mises), rtol=0, atol=0
     )
+
+
+def test_unstructured_sweep_solve_factors_device_mesh_parity():
+    """solve_factors under a lane-sharded device mesh: the [B] factor
+    vectors shard over lanes, u_base/f_base replicate, and the on-device
+    field build + renumbering gather must reproduce the unsharded
+    factor solve exactly."""
+    from magnetite_tpu.parallel.sweep import compile_unstructured_sweep
+
+    mesh, bca, md = _unstructured_sweep_case()
+    b = 8
+    rng = np.random.default_rng(11)
+    u_factors = rng.uniform(0.5, 2.0, b).astype(np.float32)
+    f_factors = np.ones(b, dtype=np.float32)
+    k_scales = rng.uniform(0.5, 3.0, b)
+
+    plain = compile_unstructured_sweep(
+        mesh, bca, md, iterations=25, dtype=np.float32
+    )
+    res_1 = plain.solve_factors(u_factors, f_factors, k_scales)
+
+    device_mesh = jax.make_mesh((8,), ("lanes",))
+    sharded = compile_unstructured_sweep(
+        mesh, bca, md, iterations=25, dtype=np.float32,
+        device_mesh=device_mesh, amg_setup=plain.amg_setup,
+    )
+    res_s = sharded.solve_factors(u_factors, f_factors, k_scales)
+    rel = np.asarray(res_s.residual_norm) / np.asarray(res_s.rhs_norm)
+    assert (rel < 1e-5).all(), rel
+    np.testing.assert_allclose(
+        np.asarray(res_s.u), np.asarray(res_1.u), rtol=0, atol=1e-11
+    )
